@@ -1,0 +1,142 @@
+"""Function spaces, dofmaps and Dirichlet boundary conditions.
+
+Replaces DOLFIN dofmaps + fenapack's index-set utilities
+(``fenapack/field_split_utils.py::dofmap_dofs_is`` and ``SubfieldBC`` —
+SURVEY.md section 2.1 item 5).  In the TPU-native design the velocity and
+pressure unknowns live in *separate* flat arrays, so "field split index set
+extraction" is free by construction; boundary conditions become static masks
+and value arrays consumed by jit-compiled operators.
+
+Velocity layout: scalar P2 dofs are [vertex dofs | edge-midpoint dofs]; the
+vector-valued space stacks components: ``u = [u_x (n2); u_y (n2)]``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .mesh import TriMesh
+
+
+@dataclasses.dataclass
+class P1Space:
+    """Scalar continuous P1 (pressure space of Taylor-Hood)."""
+    mesh: TriMesh
+
+    @property
+    def dim(self) -> int:
+        return self.mesh.num_vertices
+
+    @property
+    def cell_dofs(self) -> np.ndarray:       # (nc, 3)
+        return self.mesh.cells
+
+    def dof_coords(self) -> np.ndarray:      # (ndof, 2)
+        return self.mesh.vertices
+
+    def facet_dofs(self, markers: Sequence[int]) -> np.ndarray:
+        """Unique dofs on boundary facets with marker in ``markers``."""
+        sel = np.isin(self.mesh.facet_markers, markers)
+        fv = self.mesh.edges[self.mesh.boundary_facets[sel]]
+        return np.unique(fv.ravel()).astype(np.int32)
+
+
+@dataclasses.dataclass
+class P2Space:
+    """Scalar continuous P2 (one velocity component of Taylor-Hood)."""
+    mesh: TriMesh
+
+    @property
+    def dim(self) -> int:
+        return self.mesh.num_vertices + self.mesh.num_edges
+
+    @property
+    def cell_dofs(self) -> np.ndarray:       # (nc, 6)
+        nv = self.mesh.num_vertices
+        return np.concatenate([self.mesh.cells, nv + self.mesh.cell_edges], axis=1)
+
+    def dof_coords(self) -> np.ndarray:
+        mids = 0.5 * (self.mesh.vertices[self.mesh.edges[:, 0]]
+                      + self.mesh.vertices[self.mesh.edges[:, 1]])
+        return np.concatenate([self.mesh.vertices, mids])
+
+    def facet_dofs(self, markers: Sequence[int]) -> np.ndarray:
+        """Unique dofs (vertices + edge midpoints) on marked boundary facets."""
+        sel = np.isin(self.mesh.facet_markers, markers)
+        facets = self.mesh.boundary_facets[sel]
+        fv = self.mesh.edges[facets]
+        nv = self.mesh.num_vertices
+        return np.unique(np.concatenate([fv.ravel(), nv + facets])).astype(np.int32)
+
+
+@dataclasses.dataclass
+class TaylorHood:
+    """Mixed P2^2 x P1 space.  ``dim_u = 2 * dim(P2)``, ``dim_p = dim(P1)``."""
+    mesh: TriMesh
+
+    def __post_init__(self):
+        self.V = P2Space(self.mesh)     # scalar component space
+        self.Q = P1Space(self.mesh)
+
+    @property
+    def dim_u(self) -> int:
+        return 2 * self.V.dim
+
+    @property
+    def dim_p(self) -> int:
+        return self.Q.dim
+
+    @property
+    def dim(self) -> int:
+        return self.dim_u + self.dim_p
+
+    def velocity_dof(self, scalar_dofs: np.ndarray, component: int) -> np.ndarray:
+        """Map scalar-P2 dof ids to stacked vector-space dof ids."""
+        return scalar_dofs + component * self.V.dim
+
+
+@dataclasses.dataclass
+class DirichletBC:
+    """Strong BC: ``dofs`` (int32) pinned to ``values`` (float64).
+
+    TPU-native stand-in for DOLFIN ``DirichletBC`` +
+    ``fenapack/field_split_utils.py::SubfieldBC``: the solver consumes the
+    merged (mask, values) arrays, never this object, so BC application inside
+    jit is a masked select with no scatter in the hot path.
+    """
+    dofs: np.ndarray
+    values: np.ndarray
+
+    @staticmethod
+    def velocity(W: TaylorHood, markers: Sequence[int],
+                 value: Callable[[np.ndarray], np.ndarray]) -> "DirichletBC":
+        """``value`` maps coords (n,2) -> velocity (n,2)."""
+        sdofs = W.V.facet_dofs(markers)
+        coords = W.V.dof_coords()[sdofs]
+        vals = np.asarray(value(coords), dtype=np.float64)
+        dofs = np.concatenate([W.velocity_dof(sdofs, 0), W.velocity_dof(sdofs, 1)])
+        return DirichletBC(dofs.astype(np.int32),
+                           np.concatenate([vals[:, 0], vals[:, 1]]))
+
+    @staticmethod
+    def pressure(W: TaylorHood, markers: Sequence[int],
+                 value: float = 0.0) -> "DirichletBC":
+        dofs = W.Q.facet_dofs(markers)
+        return DirichletBC(dofs.astype(np.int32),
+                           np.full(dofs.shape[0], value, dtype=np.float64))
+
+
+def merge_bcs(bcs: Sequence[DirichletBC], dim: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge BCs into full-size (mask, values); later BCs win on overlap.
+
+    ``mask`` is float (1.0 at constrained dofs) so jit operators can apply
+    symmetric Dirichlet elimination as ``y = free*A@(free*x) + mask*x``.
+    """
+    mask = np.zeros(dim)
+    values = np.zeros(dim)
+    for bc in bcs:
+        mask[bc.dofs] = 1.0
+        values[bc.dofs] = bc.values
+    return mask, values
