@@ -95,10 +95,14 @@ class OracleOperators:
         self.Jinv = np.linalg.inv(self.J)
 
     def _cell_grads(self, c):
-        """Physical gradients of P2 and P1 bases at each quad point for cell c."""
-        JinvT = self.Jinv[c].T
-        g2 = [dphi @ JinvT for (_, dphi) in _P2]
-        g1 = _P1[0][1] @ JinvT     # constant for P1
+        """Physical gradients of P2 and P1 bases at each quad point for cell c.
+
+        With xi = Jinv (x - x0), the chain rule gives
+        grad_x phi[i, d] = sum_k dphi[i, k] Jinv[k, d]  (i.e. ``dphi @ Jinv``).
+        """
+        Jc = self.Jinv[c]
+        g2 = [dphi @ Jc for (_, dphi) in _P2]
+        g1 = _P1[0][1] @ Jc     # constant for P1
         return g2, g1
 
     def _assemble_constant(self):
