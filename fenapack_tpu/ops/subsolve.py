@@ -1,0 +1,127 @@
+"""Inner subsolves: Jacobi, Chebyshev, lumped mass, dense factorizations.
+
+TPU-native replacement for the reference's inner ``KSP/PC`` solves — MUMPS /
+UMFPACK LU on the direct path, Richardson+AMG / Chebyshev+Jacobi on the
+iterative path (SURVEY.md section 2.2 items 4-5).  Everything here is a
+*fixed-iteration* preconditioner: no data-dependent control flow, so each
+subsolve unrolls into a static chain of SpMVs + AXPYs that XLA fuses.
+
+Exact factorizations (LU/Cholesky) are kept for validation-scale runs and
+for multigrid coarse solves: factors are computed at setup time (host/XLA)
+and the jit-side apply is just two triangular solves.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sparse import ELL
+
+
+# ---------------------------------------------------------------------- #
+# diagonal / lumped preconditioners
+# ---------------------------------------------------------------------- #
+
+def make_jacobi(diag: jnp.ndarray) -> Callable:
+    dinv = 1.0 / diag
+    return lambda r: dinv * r
+
+
+def lumped_inverse(M: ELL) -> jnp.ndarray:
+    """Row-sum (lumped) mass inverse — exact for the constant mode, spectrally
+    equivalent to Mp^{-1} (standard PCD practice for the mass subsolve)."""
+    return 1.0 / jnp.sum(M.vals, axis=1)
+
+
+# ---------------------------------------------------------------------- #
+# Chebyshev (Jacobi-preconditioned), fixed iteration count
+# ---------------------------------------------------------------------- #
+
+def chebyshev_solver(matvec: Callable, dinv: jnp.ndarray, lmin: float,
+                     lmax: float, iters: int) -> Callable:
+    """Return ``solve(b) ~= A^{-1} b`` via ``iters`` Chebyshev steps.
+
+    ``lmin``/``lmax`` bound the spectrum of ``diag(A)^{-1} A`` (static floats
+    baked into the compiled program).  Standard three-term recurrence
+    (Saad, Iterative Methods, alg. 12.1), unrolled statically.
+    """
+    d = 0.5 * (lmax + lmin)
+    c = 0.5 * (lmax - lmin)
+
+    def solve(b):
+        x = jnp.zeros_like(b)
+        r = b
+        p = jnp.zeros_like(b)
+        alpha = 0.0
+        for i in range(iters):
+            z = dinv * r
+            if i == 0:
+                p = z
+                alpha = 1.0 / d
+            else:
+                beta = (0.5 * c * alpha) ** 2 if i == 1 else (0.5 * c * alpha) ** 2
+                alpha = 1.0 / (d - beta / alpha)
+                p = z + beta * p
+            x = x + alpha * p
+            r = r - alpha * matvec(p)
+        return x
+    return solve
+
+
+def power_bounds(matvec: Callable, dinv: jnp.ndarray, n: int,
+                 iters: int = 50, seed: int = 0,
+                 dtype=jnp.float64) -> Tuple[float, float]:
+    """Estimate (lmin, lmax) of ``diag^{-1} A`` for an SPD ``A``.
+
+    Power iteration on D^{-1}A for lmax, then on (lmax I - D^{-1}A) for lmin.
+    Setup-time only (host-driven loop, tiny cost vs. assembly).
+    """
+    rng = np.random.default_rng(seed)
+    op = lambda v: dinv * matvec(v)
+
+    v = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+    v = v / jnp.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = op(v)
+        lam = jnp.linalg.norm(w)
+        v = w / lam
+    lmax = float(lam)
+
+    v = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+    v = v / jnp.linalg.norm(v)
+    mu = 0.0
+    for _ in range(iters):
+        w = lmax * v - op(v)
+        mu = jnp.linalg.norm(w)
+        v = w / mu
+    lmin = float(lmax - mu)
+    return max(lmin, 1e-12), lmax * 1.01
+
+
+# ---------------------------------------------------------------------- #
+# dense factorization solvers (validation scale / MG coarse grids)
+# ---------------------------------------------------------------------- #
+
+def dense_lu_solver(A_dense: jnp.ndarray) -> Callable:
+    """Factor once at setup; the returned closure does triangular solves only."""
+    lu, piv = jax.scipy.linalg.lu_factor(A_dense)
+
+    def solve(b):
+        return jax.scipy.linalg.lu_solve((lu, piv), b)
+    return solve
+
+
+def masked_spd_solver_dense(ell: ELL, pattern, bc_mask: np.ndarray,
+                            dtype=None) -> Callable:
+    """Dense LU of the symmetric bc-eliminated operator
+    ``free A free + I_bc`` (validation path; exact like the reference's LU).
+    """
+    import scipy.sparse as sp
+    A = pattern.to_scipy(ell).toarray()
+    free = 1.0 - np.asarray(bc_mask)
+    A = free[:, None] * A * free[None, :] + np.diag(np.asarray(bc_mask))
+    return dense_lu_solver(jnp.asarray(A, dtype=dtype or ell.vals.dtype))

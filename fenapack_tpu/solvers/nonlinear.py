@@ -1,0 +1,112 @@
+"""Nonlinear drivers: Picard and Newton Oseen iterations.
+
+TPU-native counterpart of ``fenapack/nonlinear_solvers.py::PCDNewtonSolver``
++ ``PCDNonlinearProblem`` (SURVEY.md section 2.1 item 7).  As in the
+reference, Picard vs Newton is just a different linearized operator inside
+the same loop; the loop itself runs in host Python (it is O(10) iterations of
+O(ms) jit calls), while residual evaluation and the linear solve are jitted.
+
+Extras beyond the reference loop (needed for the high-Re configs of
+BASELINE.json): optional damping and Reynolds continuation helpers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.assemble import NSAssembler
+from ..fem.dofmap import DirichletBC
+from .config import SolverConfig
+from .oseen import OseenSolver
+
+
+@dataclasses.dataclass
+class NonlinearResult:
+    w: jnp.ndarray                 # converged state [u_x; u_y; p]
+    nonlinear_res: List[float]
+    linear_iters: List[int]
+    linear_resnorms: List[np.ndarray]
+    converged: bool
+    wall_time: float
+
+    @property
+    def total_linear_iters(self) -> int:
+        return int(sum(self.linear_iters))
+
+
+class NonlinearSolver:
+    """Picard/Newton driver around :class:`OseenSolver`."""
+
+    def __init__(self, asm: NSAssembler, bcs: Sequence[DirichletBC],
+                 config: SolverConfig = SolverConfig(),
+                 linearization: str = "picard", enclosed: bool = False,
+                 pcd_marker: Optional[int] = None,
+                 ap_hierarchy=None, velocity_hierarchy=None):
+        self.asm = asm
+        self.enclosed = enclosed
+        self.linearization = linearization
+        self.oseen = OseenSolver(asm, bcs, config, linearization=linearization,
+                                 enclosed=enclosed, pcd_marker=pcd_marker,
+                                 ap_hierarchy=ap_hierarchy,
+                                 velocity_hierarchy=velocity_hierarchy)
+        dt = self.oseen.dtype
+        self.n_u, self.n = self.oseen.n_u, self.oseen.n
+
+        free_u = self.oseen.free_u
+        n_u = self.n_u
+        n2 = asm.n2
+        encl = enclosed
+
+        @jax.jit
+        def residual(w):
+            u, p = w[:n_u], w[n_u:]
+            ru, rp = asm.residual(u, p)
+            ru = free_u * ru.astype(dt)
+            rp = rp.astype(dt)
+            if encl:
+                rp = rp - jnp.mean(rp)
+            return jnp.concatenate([ru, rp])
+
+        self._residual = residual
+
+    def initial_state(self) -> jnp.ndarray:
+        w = jnp.zeros(self.n, dtype=self.oseen.dtype)
+        return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
+
+    def solve(self, w0: Optional[jnp.ndarray] = None, *, rtol: float = 1e-5,
+              atol: float = 1e-12, max_steps: int = 25,
+              damping: float = 1.0, verbose: bool = False) -> NonlinearResult:
+        t0 = time.perf_counter()
+        w = self.initial_state() if w0 is None else w0.astype(self.oseen.dtype)
+        res_hist: List[float] = []
+        it_hist: List[int] = []
+        rn_hist: List[np.ndarray] = []
+        r0 = None
+        converged = False
+        for step in range(max_steps):
+            F = self._residual(w)
+            rnorm = float(jnp.linalg.norm(F))
+            res_hist.append(rnorm)
+            if r0 is None:
+                r0 = rnorm if rnorm > 0 else 1.0
+            if verbose:
+                print(f"  nonlinear step {step:2d}: |F| = {rnorm:.3e}")
+            if rnorm <= max(rtol * r0, atol):
+                converged = True
+                break
+            result = self.oseen.solve(w[:self.n_u], -F)
+            it_hist.append(int(result.iters))
+            rn_hist.append(np.asarray(result.resnorms))
+            dw = result.x
+            if self.enclosed:
+                dw = dw.at[self.n_u:].add(-jnp.mean(dw[self.n_u:]))
+            w = w + damping * dw
+        return NonlinearResult(w=w, nonlinear_res=res_hist,
+                               linear_iters=it_hist, linear_resnorms=rn_hist,
+                               converged=converged,
+                               wall_time=time.perf_counter() - t0)

@@ -1,0 +1,115 @@
+"""Solver parity tests: jit FGMRES + fieldsplit + PCD vs the scipy oracle.
+
+SURVEY.md section 4 rebuild plan items 2-3: iteration counts within the 10%
+band of BASELINE.json, plus the defining PCD mesh-independence property.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fenapack_tpu.fem import mesh as meshmod
+from fenapack_tpu.fem.assemble import NSAssembler
+from fenapack_tpu.fem.dofmap import DirichletBC
+from fenapack_tpu.solvers.config import SolverConfig, overrides
+from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+from fenapack_tpu.solvers.krylov import fgmres
+
+from tests.reference_fem.driver import build_step_problem, solve_oracle
+
+
+def step_inflow(x):
+    v = np.zeros((x.shape[0], 2))
+    v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+    return v
+
+
+def make_step_solver(level, variant, linearization="picard", **cfg_over):
+    mesh = meshmod.backward_step_mesh(level)
+    asm = NSAssembler(mesh, 0.02)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": variant, **cfg_over})
+    return NonlinearSolver(asm, bcs, cfg, linearization=linearization)
+
+
+def test_fgmres_unit():
+    """FGMRES solves a small nonsymmetric system to rtol with Jacobi PC."""
+    rng = np.random.default_rng(3)
+    n = 80
+    A = np.eye(n) * 4 + 0.5 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    dinv = jnp.asarray(1.0 / np.diag(A))
+    res = fgmres(lambda x: Aj @ x, lambda r: dinv * r, jnp.asarray(b),
+                 maxiter=n, rtol=1e-10)
+    x = np.asarray(res.x)
+    assert res.converged
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert relres < 1e-9
+    # residual history monotone within roundoff
+    hist = np.asarray(res.resnorms)[:int(res.iters) + 1]
+    assert hist[-1] <= 1e-10 * np.linalg.norm(b) * 1.01
+
+
+@pytest.mark.parametrize("variant", ["BRM1", "BRM2"])
+def test_picard_matches_oracle_counts(variant):
+    mesh, W, bcs_o = build_step_problem(level=0)
+    oracle = solve_oracle(mesh, W, bcs_o, nu=0.02, variant=variant,
+                          linearization="picard", max_nl=5, rtol_nl=1e-3)
+    solver = make_step_solver(0, variant)
+    res = solver.solve(rtol=1e-3, max_steps=5)
+    assert len(res.linear_iters) >= len(oracle.linear_iters) - 1
+    for a, b in zip(res.linear_iters, oracle.linear_iters):
+        assert abs(a - b) <= max(1, 0.1 * b), (res.linear_iters,
+                                               oracle.linear_iters)
+
+
+def test_newton_quadratic():
+    solver = make_step_solver(0, "BRM2", linearization="newton")
+    res = solver.solve(rtol=1e-10, max_steps=10)
+    assert res.converged
+    r = res.nonlinear_res
+    # quadratic tail: residual ratio accelerates
+    assert r[-1] < 1e-9 * r[0]
+    assert len(r) <= 8
+
+
+def test_mesh_independence():
+    """Defining PCD property: outer counts ~flat under refinement."""
+    counts = []
+    for level in [0, 1]:
+        solver = make_step_solver(level, "BRM2")
+        res = solver.solve(rtol=1e-2, max_steps=3)
+        counts.append(res.linear_iters[-1])
+    assert abs(counts[1] - counts[0]) <= 6, counts
+
+
+def test_chebyshev_mp_subsolve_keeps_counts():
+    """Replacing the exact Mp solve by Jacobi-Chebyshev must stay in band."""
+    exact = make_step_solver(0, "BRM2", **{"pcd.mp.method": "lu"})
+    cheb = make_step_solver(0, "BRM2", **{"pcd.mp.method": "chebyshev"})
+    r_exact = exact.solve(rtol=1e-2, max_steps=3)
+    r_cheb = cheb.solve(rtol=1e-2, max_steps=3)
+    for a, b in zip(r_cheb.linear_iters, r_exact.linear_iters):
+        assert abs(a - b) <= max(1, 0.15 * b)
+
+
+def test_cavity_enclosed_damped():
+    """Enclosed flow: pure-Neumann PCD nullspace path + damped Picard."""
+    mesh = meshmod.cavity_mesh(0)
+    asm = NSAssembler(mesh, 1.0 / 50.0)
+
+    def lid(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 1.0
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], lid)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2"})
+    solver = NonlinearSolver(asm, bcs, cfg, enclosed=True)
+    res = solver.solve(rtol=1e-4, max_steps=25, damping=0.8)
+    assert res.converged, res.nonlinear_res
+    assert max(res.linear_iters) < 80
