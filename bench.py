@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Headline benchmark: 2D backward-facing step, Re=100, Picard + PCD-BRM2.
+
+The BASELINE.json metric: outer FGMRES iterations + wall-clock to 1e-8, plus
+PCD-apply latency.  Runs on whatever jax.default_backend() provides (the real
+TPU chip under the driver; CPU elsewhere).
+
+Pipeline measured:
+  * full Picard solve (nonlinear rtol 1e-5, per-step linear rtol 1e-8 via
+    mixed-precision iterative refinement: f32 FGMRES correction solves +
+    f64 true residuals) — wall-clock excludes compilation (one warmup).
+  * PCD apply latency (jitted BRM2 apply alone).
+  * ``vs_baseline``: golden-iteration-count ratio vs the scipy exact-LU
+    oracle (tests/golden_counts.json) — >= 1.0 means we need no more Krylov
+    iterations than the reference-equivalent exact path; the 10% band of
+    BASELINE.json is [0.9, inf).
+
+Prints ONE JSON line.  Env knobs: BENCH_LEVEL (default 1), BENCH_VARIANT.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)   # f64 only for IR true residuals
+
+import numpy as np
+import jax.numpy as jnp
+
+from fenapack_tpu.fem import mesh as meshmod
+from fenapack_tpu.fem.assemble import NSAssembler
+from fenapack_tpu.fem.dofmap import DirichletBC
+from fenapack_tpu.solvers.config import SolverConfig, overrides
+from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+from fenapack_tpu.ops.sparse import ELL
+
+
+def build(level: int, variant: str):
+    mesh = meshmod.backward_step_mesh(level)
+    asm = NSAssembler(mesh, 0.02, dtype=jnp.float64)
+
+    def inflow(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+    cfg = overrides(SolverConfig(), {
+        "dtype": "float32",
+        "pcd.variant": variant,
+        "krylov.rtol": 2e-6,          # inner IR correction tolerance
+        "krylov.maxiter": 80,
+    })
+    return NonlinearSolver(asm, bcs, cfg)
+
+
+def picard_ir(nl, step=None, rtol_nl=1e-5, rtol_lin=1e-8, max_steps=25):
+    """Picard loop over the FUSED jitted step (one device call per step:
+    residual + whole IR linear solve + update)."""
+    if step is None:
+        step = nl.make_step_ir(rtol_lin=rtol_lin)
+    w = nl.initial_state().astype(jnp.float64)
+    iters, res = [], []
+    r0 = None
+    for _ in range(max_steps):
+        w_new, rn, inner, _ = step(w)
+        rn = float(rn)
+        res.append(rn)
+        if r0 is None:
+            r0 = rn if rn > 0 else 1.0
+        if rn <= rtol_nl * r0:
+            break
+        iters.append(int(inner))
+        w = w_new
+    return w, iters, res, step
+
+
+def time_pcd_apply(nl, w):
+    """Median latency of one jitted BRM2/BRM1 PCD apply."""
+    oseen = nl.oseen
+    asm = nl.asm
+    kpvals = asm.kp_values(
+        w[:nl.n_u].astype(oseen.dtype),
+        surface=(nl.oseen.config.pcd.variant == "BRM2")).astype(oseen.dtype)
+    kp = ELL(asm.pat_p1.cols, kpvals, asm.n1)
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(asm.n1),
+                    dtype=oseen.dtype)
+    fn = jax.jit(lambda rr: oseen.pcd_apply(kp, rr))
+    fn(r).block_until_ready()
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        fn(r).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def main():
+    level = int(os.environ.get("BENCH_LEVEL", "1"))
+    variant = os.environ.get("BENCH_VARIANT", "BRM2")
+    nl = build(level, variant)
+
+    # warmup: compiles the fused step once
+    _, _, _, step = picard_ir(nl, max_steps=2)
+
+    t0 = time.perf_counter()
+    w, iters, res, _ = picard_ir(nl, step=step)
+    wall = time.perf_counter() - t0
+
+    pcd_ms = time_pcd_apply(nl, w)
+
+    golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden_counts.json")
+    vs_baseline = None
+    golden_total = None
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            golden = json.load(f)
+        key = f"step2d/l{level}/{variant}/picard"
+        if key in golden:
+            golden_total = golden[key]["total"]
+            vs_baseline = golden_total / max(sum(iters), 1)
+
+    print(json.dumps({
+        "metric": "step2d_re100_picard_pcd_to1e-8_wall_s",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+        "detail": {
+            "backend": jax.default_backend(),
+            "level": level,
+            "variant": variant,
+            "n_dof": int(nl.n),
+            "nonlinear_steps": len(iters),
+            "inner_iters_per_step": iters,
+            "total_inner_iters": int(sum(iters)),
+            "oracle_total_iters": golden_total,
+            "final_nonlinear_res_rel": res[-1] / res[0] if res else None,
+            "pcd_apply_ms": round(pcd_ms, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

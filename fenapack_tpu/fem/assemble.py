@@ -28,6 +28,13 @@ from .dofmap import TaylorHood
 from ..ops.sparse import ELL, SparsityPattern, pattern_from_dofmaps
 
 
+def _pad_rows(a: np.ndarray, n_extra: int) -> np.ndarray:
+    if not n_extra:
+        return a
+    return np.concatenate(
+        [a, np.zeros((n_extra,) + a.shape[1:], dtype=a.dtype)])
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ConstOperators:
@@ -47,9 +54,11 @@ class ConstOperators:
     DyT: ELL
     Mp: ELL
     Ap: ELL
+    M2: ELL      # scalar P2 mass (unscaled) — unsteady M/dt velocity term
 
     def tree_flatten(self):
-        fields = (self.L, self.Dx, self.Dy, self.DxT, self.DyT, self.Mp, self.Ap)
+        fields = (self.L, self.Dx, self.Dy, self.DxT, self.DyT, self.Mp,
+                  self.Ap, self.M2)
         return fields, None
 
     @classmethod
@@ -66,14 +75,26 @@ class NSAssembler:
     """
 
     def __init__(self, mesh: TriMesh, nu: float, dtype=jnp.float64,
-                 quad_degree: int = 5, inflow_marker: int = INFLOW):
+                 quad_degree: int = 5, inflow_marker: int = INFLOW,
+                 row_align: int = 1):
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
-        W = TaylorHood(mesh)
+        W = TaylorHood(mesh, align=row_align)
         self.W = W
-        self.n2 = W.V.dim
-        self.n1 = W.Q.dim
+        self.row_align = row_align
+        self.n2 = W.n2                  # padded sizes (== real when align=1)
+        self.n1 = W.n1
+        self.n2_real = W.V.dim
+        self.n1_real = W.Q.dim
+        # active-dof masks (0.0 on alignment padding)
+        p_act = np.zeros(self.n1)
+        p_act[:self.n1_real] = 1.0
+        u_act = np.zeros(2 * self.n2)
+        u_act[:self.n2_real] = 1.0
+        u_act[self.n2:self.n2 + self.n2_real] = 1.0
+        self.p_active = jnp.asarray(p_act, dtype=dtype)
+        self.u_active = jnp.asarray(u_act, dtype=dtype)
 
         # --- basis tables -------------------------------------------------
         qp, qw = elements.triangle_quadrature(quad_degree)
@@ -94,12 +115,30 @@ class NSAssembler:
 
         cd2 = W.V.cell_dofs.astype(np.int32)      # (nc,6)
         cd1 = W.Q.cell_dofs.astype(np.int32)      # (nc,3)
-        self.cd2 = jnp.asarray(cd2)
-        self.cd1 = jnp.asarray(cd1)
 
         # physical gradients, precomputed (g2: (nc,nq,6,2); g1: (nc,3,2))
         g2 = np.einsum("qik,ckd->cqid", dphi2, Jinv)
         g1 = np.einsum("ik,ckd->cid", dphi1[0], Jinv)
+
+        # cell-batch alignment padding: zero-measure phantom cells so the
+        # cells axis is shardable over the device mesh; their quadrature
+        # weights are zero and their scatter targets are out-of-bounds
+        # (dropped), so they contribute nothing.
+        nc = cd2.shape[0]
+        self.nc_real = nc
+        nc_pad = -(-nc // row_align) * row_align - nc
+        if nc_pad:
+            g2 = np.concatenate([g2, np.zeros((nc_pad,) + g2.shape[1:])])
+            g1 = np.concatenate([g1, np.zeros((nc_pad,) + g1.shape[1:])])
+            adet = np.concatenate([adet, np.zeros(nc_pad)])
+        self.nc = nc + nc_pad
+
+        self.cd2 = jnp.asarray(_pad_rows(cd2, nc_pad))
+        self.cd1 = jnp.asarray(_pad_rows(cd1, nc_pad))
+        # cell diameters (max edge length) for SUPG; 0 on phantom cells
+        e = np.linalg.norm(v - np.roll(v, 1, axis=1), axis=2).max(axis=1)
+        self.h_cell = jnp.asarray(np.concatenate([e, np.zeros(nc_pad)]),
+                                  dtype=dtype)
         self.g2 = jnp.asarray(g2, dtype=dtype)
         self.g1 = jnp.asarray(g1, dtype=dtype)
         self.adet = jnp.asarray(adet, dtype=dtype)
@@ -114,6 +153,9 @@ class NSAssembler:
         self.pat_p1 = pattern_from_dofmaps(cd1, cd1, self.n1, self.n1)
         self.pat_div = pattern_from_dofmaps(cd1, cd2, self.n1, self.n2)
         self.pat_divT = pattern_from_dofmaps(cd2, cd1, self.n2, self.n1)
+        for pat, width in ((self.pat_p2, 36), (self.pat_p1, 9),
+                           (self.pat_div, 18), (self.pat_divT, 18)):
+            pat.pad_entries(nc_pad * width)
 
         # --- boundary facet data for surface integrals --------------------
         self._setup_facets(inflow_marker)
@@ -177,6 +219,7 @@ class NSAssembler:
         phi2, phi1 = self.phi2, self.phi1
 
         visc = jnp.einsum("cq,cqid,cqjd->cij", w, g2, g2)
+        mass_p2 = jnp.einsum("cq,qi,qj->cij", w, phi2, phi2)
         mass_p1 = jnp.einsum("cq,ql,qm->clm", w, phi1, phi1) / self.nu
         stiff_p1 = jnp.einsum("c,cld,cmd->clm", jnp.sum(w, axis=1), g1, g1)
         # divergence: D[l,(j,a)] = -int psi_l d_a phi_j
@@ -190,7 +233,9 @@ class NSAssembler:
         DyT = self.pat_divT.assemble(jnp.swapaxes(dy, 1, 2))
         Mp = self.pat_p1.assemble(mass_p1)
         Ap = self.pat_p1.assemble(stiff_p1)
-        return ConstOperators(L=L, Dx=Dx, Dy=Dy, DxT=DxT, DyT=DyT, Mp=Mp, Ap=Ap)
+        M2 = self.pat_p2.assemble(mass_p2)
+        return ConstOperators(L=L, Dx=Dx, Dy=Dy, DxT=DxT, DyT=DyT, Mp=Mp,
+                              Ap=Ap, M2=M2)
 
     # ------------------------------------------------------------------ #
     def wind_at_quad(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -234,6 +279,31 @@ class NSAssembler:
             flat = vals.reshape(-1).at[self.kp_surf_pos].add(elem_s.ravel())
             vals = flat.reshape(vals.shape)
         return vals
+
+    def supg_values(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Streamline-diffusion (SUPG) stabilization element values.
+
+        TPU-native counterpart of
+        ``fenapack/stabilization.py::StabilizationParameterSD``: the demo adds
+        ``delta * (w.grad u)(w.grad v)`` to the *preconditioner* velocity form
+        ``J_pc`` so the 00-block subsolve stays robust at high Reynolds
+        number.  Parameter (Elman-Silvester-Wathen, Finite Elements and Fast
+        Iterative Solvers 2nd ed., sec. 8.3.2 / eq. for delta*):
+
+            Pe_c   = |w|_c h_c / (2 nu)        (cell Peclet number)
+            delta  = h_c / (2 |w|_c) * (1 - 1/Pe_c)   if Pe_c > 1 else 0
+        """
+        uq = self.wind_at_quad(u)                    # (nc,nq,2)
+        umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))   # (nc,nq)
+        h = self.h_cell[:, None]
+        safe_u = jnp.maximum(umag, 1e-30)
+        pe = safe_u * h / (2.0 * self.nu)
+        delta = jnp.where(pe > 1.0, h / (2.0 * safe_u) * (1.0 - 1.0 / pe),
+                          0.0)
+        # (w . grad phi_i) at quad points: (nc, nq, 6)
+        wg = jnp.einsum("cqd,cqid->cqi", uq, self.g2)
+        elem = jnp.einsum("cq,cq,cqi,cqj->cij", self.wdet, delta, wg, wg)
+        return self.pat_p2.assemble_values(elem)
 
     # ------------------------------------------------------------------ #
     def picard_matrix_values(self, u: jnp.ndarray) -> jnp.ndarray:

@@ -73,20 +73,31 @@ class P2Space:
 
 @dataclasses.dataclass
 class TaylorHood:
-    """Mixed P2^2 x P1 space.  ``dim_u = 2 * dim(P2)``, ``dim_p = dim(P1)``."""
+    """Mixed P2^2 x P1 space.  ``dim_u = 2 * n2``, ``dim_p = n1``.
+
+    ``align > 1`` pads each scalar space to a multiple of ``align`` — the
+    multi-chip layout (fenapack_tpu.parallel): every distributed axis must be
+    divisible by the device-mesh size, exactly like PETSc pads MPIAIJ row
+    blocks to ownership ranges.  Padded dofs touch no cell; solvers pin them
+    to identity rows.
+    """
     mesh: TriMesh
+    align: int = 1
 
     def __post_init__(self):
         self.V = P2Space(self.mesh)     # scalar component space
         self.Q = P1Space(self.mesh)
+        a = self.align
+        self.n2 = -(-self.V.dim // a) * a      # padded scalar P2 size
+        self.n1 = -(-self.Q.dim // a) * a      # padded P1 size
 
     @property
     def dim_u(self) -> int:
-        return 2 * self.V.dim
+        return 2 * self.n2
 
     @property
     def dim_p(self) -> int:
-        return self.Q.dim
+        return self.n1
 
     @property
     def dim(self) -> int:
@@ -94,7 +105,7 @@ class TaylorHood:
 
     def velocity_dof(self, scalar_dofs: np.ndarray, component: int) -> np.ndarray:
         """Map scalar-P2 dof ids to stacked vector-space dof ids."""
-        return scalar_dofs + component * self.V.dim
+        return scalar_dofs + component * self.n2
 
 
 @dataclasses.dataclass

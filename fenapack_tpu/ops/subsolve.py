@@ -32,8 +32,10 @@ def make_jacobi(diag: jnp.ndarray) -> Callable:
 
 def lumped_inverse(M: ELL) -> jnp.ndarray:
     """Row-sum (lumped) mass inverse — exact for the constant mode, spectrally
-    equivalent to Mp^{-1} (standard PCD practice for the mass subsolve)."""
-    return 1.0 / jnp.sum(M.vals, axis=1)
+    equivalent to Mp^{-1} (standard PCD practice for the mass subsolve).
+    Empty rows (alignment padding) get identity."""
+    rs = jnp.sum(M.vals, axis=1)
+    return jnp.where(rs != 0, 1.0 / jnp.where(rs != 0, rs, 1.0), 1.0)
 
 
 # ---------------------------------------------------------------------- #

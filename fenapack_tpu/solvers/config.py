@@ -50,6 +50,10 @@ class SolverConfig:
     pcd: PCDConfig = PCDConfig()
     velocity: SubsolveConfig = SubsolveConfig(method="lu")
     dtype: str = "float64"
+    # add SUPG streamline diffusion to the *preconditioner* velocity
+    # operator (the reference demo's separate J_pc form with
+    # StabilizationParameterSD); the system operator stays unstabilized
+    jpc_supg: bool = False
 
 
 def override(cfg: Any, key: str, value: Any) -> Any:

@@ -1,0 +1,462 @@
+"""Geometric multigrid for the PCD subsolves and the velocity block.
+
+TPU-native replacement for the AMG the reference obtains from PETSc/hypre
+(``-fieldsplit_u_pc_type hypre`` / Richardson+AMG inner KSPs, SURVEY.md
+section 2.2 item 4).  On TPU we own the mesh (fenapack_tpu.fem.mesh builds
+hierarchies by uniform refinement with parent tracking), so *geometric* MG
+with re-discretized coarse operators replaces algebraic setup entirely:
+
+  * P1 prolongation is a two-parent gather ``e_f[i] = mean(e_c[parents[i]])``
+    (fine vertices are edge midpoints or surviving coarse vertices);
+    restriction is its transpose (two scatter-adds).  No sparse matrices.
+  * The P2 velocity hierarchy uses the identity  *P2 dofs on mesh M =
+    vertices of refine(M)*: wind transfer fine->coarse is a slice
+    (injection), and P2 prolongation needs only per-fine-edge basis weights
+    precomputed on the host.
+  * Coarse operators are re-discretized per level.  For the (wind-dependent)
+    velocity block this happens inside jit via each level's assembler, so a
+    V-cycle preconditioner re-tunes itself to the current nonlinear iterate
+    with zero host round-trips — the structural advantage over the
+    reference, which must re-run AMG setup per Newton step.
+  * Smoother: damped Jacobi (fixed iterations — static control flow);
+    Chebyshev-Jacobi on the SPD pressure levels.  Coarse solve: dense LU.
+
+V-cycles here are *preconditioners* inside flexible GMRES, matching the
+reference's usage (inner Richardson+AMG at fixed iteration counts).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem import mesh as meshmod
+from ..fem.mesh import TriMesh
+from ..ops.sparse import ELL
+from ..ops import subsolve
+from .config import SubsolveConfig
+
+
+# --------------------------------------------------------------------- #
+# hierarchy construction
+# --------------------------------------------------------------------- #
+
+@dataclasses.dataclass
+class MeshHierarchy:
+    """Coarse-to-fine chain of meshes produced by uniform refinement.
+
+    ``parents[l]`` maps level-(l+1) vertices to their two level-l parent
+    vertices (equal entries for surviving coarse vertices).
+    """
+    meshes: List[TriMesh]           # [coarse, ..., fine]
+    parents: List[np.ndarray]       # len = levels - 1
+
+    @property
+    def fine(self) -> TriMesh:
+        return self.meshes[-1]
+
+
+def build_hierarchy(coarse: TriMesh, levels: int) -> MeshHierarchy:
+    """Refine ``coarse`` ``levels`` times; finest mesh is the problem mesh."""
+    meshes = [coarse]
+    parents = []
+    for _ in range(levels):
+        fine, par = meshmod.refine_uniform(meshes[-1])
+        meshes.append(fine)
+        parents.append(par)
+    return MeshHierarchy(meshes=meshes, parents=parents)
+
+
+# --------------------------------------------------------------------- #
+# P1 transfer operators (pressure space / any vertex-based field)
+# --------------------------------------------------------------------- #
+
+class P1Transfer:
+    """Prolongation/restriction between two P1 levels from parent pairs."""
+
+    def __init__(self, parents: np.ndarray, n_coarse: int, dtype):
+        self.pa = jnp.asarray(parents[:, 0].astype(np.int32))
+        self.pb = jnp.asarray(parents[:, 1].astype(np.int32))
+        self.n_coarse = n_coarse
+        self.n_fine = parents.shape[0]
+        self.dtype = dtype
+
+    def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
+        return 0.5 * (xc[self.pa] + xc[self.pb])
+
+    def restrict(self, rf: jnp.ndarray) -> jnp.ndarray:
+        z = jnp.zeros(self.n_coarse, dtype=rf.dtype)
+        z = z.at[self.pa].add(0.5 * rf)
+        return z.at[self.pb].add(0.5 * rf)
+
+
+# --------------------------------------------------------------------- #
+# generic V-cycle over static level lists
+# --------------------------------------------------------------------- #
+
+def _jacobi_smooth(matvec, dinv, omega, iters, b, x):
+    for _ in range(iters):
+        x = x + omega * dinv * (b - matvec(x))
+    return x
+
+
+def make_vcycle(matvecs: Sequence[Callable], dinvs: Sequence[jnp.ndarray],
+                transfers: Sequence, coarse_solve: Callable,
+                masks: Sequence[Optional[jnp.ndarray]],
+                smooth_iters: int = 2, omega: float = 0.67,
+                cycles: int = 1) -> Callable:
+    """Compose a fixed-shape V-cycle preconditioner ``solve(b) -> x``.
+
+    ``matvecs``/``dinvs``/``masks`` are per level coarse->fine
+    (len L); ``transfers`` connect consecutive levels (len L-1).
+    ``masks`` chop Dirichlet rows of restricted residuals (1.0 = pinned).
+    """
+    L = len(matvecs)
+
+    def chop(x, lvl):
+        m = masks[lvl]
+        return x * (1.0 - m) if m is not None else x
+
+    def cycle(lvl: int, b: jnp.ndarray) -> jnp.ndarray:
+        if lvl == 0:
+            return coarse_solve(b)
+        mv, dinv = matvecs[lvl], dinvs[lvl]
+        t = transfers[lvl - 1]
+        x = _jacobi_smooth(mv, dinv, omega, smooth_iters, b,
+                           jnp.zeros_like(b))
+        r = chop(b - mv(x), lvl)
+        ec = cycle(lvl - 1, chop(t.restrict(r), lvl - 1))
+        x = x + chop(t.prolong(ec), lvl)
+        return _jacobi_smooth(mv, dinv, omega, smooth_iters, b, x)
+
+    def solve(b: jnp.ndarray) -> jnp.ndarray:
+        x = cycle(L - 1, b)
+        for _ in range(cycles - 1):
+            # extra cycles as stationary iteration
+            r = b - matvecs[L - 1](x)
+            x = x + cycle(L - 1, r)
+        return x
+    return solve
+
+
+# --------------------------------------------------------------------- #
+# pressure (Ap) GMG
+# --------------------------------------------------------------------- #
+
+class PressureHierarchy:
+    """Per-level pressure stiffness + transfer, for the Ap subsolve.
+
+    ``pcd_markers``: facet markers whose P1 dofs are Dirichlet-pinned on
+    every level (the pcd BC rows); may be empty (enclosed flow — the caller
+    handles nullspace projection around the V-cycle).
+    """
+
+    def __init__(self, hier: MeshHierarchy, dtype,
+                 pcd_markers: Sequence[int] = (),
+                 fine_n1: Optional[int] = None):
+        from ..fem.assemble import NSAssembler     # cycle-free at runtime
+        self.hier = hier
+        self.dtype = dtype
+        self.levels = []
+        self.transfers = []
+        self.fine_n1 = fine_n1
+        for l, mesh in enumerate(hier.meshes):
+            asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2)
+            Ap = ELL(asm.pat_p1.cols, asm.const.Ap.vals.astype(dtype),
+                     asm.n1)
+            if pcd_markers:
+                dofs = asm.W.Q.facet_dofs(list(pcd_markers))
+                m = np.zeros(asm.n1)
+                m[dofs] = 1.0
+                mask = jnp.asarray(m, dtype=dtype)
+            else:
+                mask = None
+            self.levels.append((asm, Ap, mask))
+            if l > 0:
+                self.transfers.append(P1Transfer(
+                    hier.parents[l - 1], hier.meshes[l - 1].num_vertices,
+                    dtype))
+
+
+def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
+                    dtype, bc_mask: Optional[jnp.ndarray] = None) -> Callable:
+    """Ap^{-1} approximation via V-cycles on the pressure hierarchy.
+
+    ``bc_mask`` is the *fine-level* pinned mask (pcd BCs + alignment
+    padding); fine vectors may be longer than the hierarchy's fine space
+    (alignment padding) — padded entries pass through as identity.
+    """
+    matvecs, dinvs, masks = [], [], []
+    for (asm, Ap, mask) in hierarchy.levels:
+        if mask is not None:
+            free = 1.0 - mask
+            mv = (lambda A, fr, mk: lambda x: fr * A.mv(fr * x) + mk * x)(
+                Ap, free, mask)
+            diag = Ap.diag_from(asm.pat_p1.diag_pos)
+            diag = jnp.where(mask > 0, 1.0, diag)
+        else:
+            mv = Ap.mv
+            diag = Ap.diag_from(asm.pat_p1.diag_pos)
+        matvecs.append(mv)
+        dinvs.append(1.0 / diag)
+        masks.append(mask)
+
+    asm0, Ap0, mask0 = hierarchy.levels[0]
+    bc0 = (np.asarray(mask0) if mask0 is not None
+           else np.zeros(Ap0.shape[0]))
+    if mask0 is None:
+        # enclosed flow: regularize the singular coarse Neumann operator
+        import scipy.sparse as sp
+        A = asm0.pat_p1.to_scipy(Ap0).toarray()
+        A = A + np.full_like(A, 1.0 / A.shape[0])   # rank-1 constant shift
+        coarse = subsolve.dense_lu_solver(jnp.asarray(A, dtype=dtype))
+    else:
+        coarse = subsolve.masked_spd_solver_dense(Ap0, asm0.pat_p1, bc0,
+                                                  dtype)
+
+    vcycle = make_vcycle(matvecs, dinvs, hierarchy.transfers, coarse, masks,
+                         smooth_iters=cfg.smooth_iters, cycles=cfg.cycles)
+
+    n_hier = hierarchy.levels[-1][1].shape[0]
+
+    def solve(b: jnp.ndarray) -> jnp.ndarray:
+        bh = b[:n_hier]
+        xh = vcycle(bh)
+        if b.shape[0] == n_hier:
+            return xh
+        # alignment padding: identity on the padded tail
+        return jnp.concatenate([xh, b[n_hier:]])
+    return solve
+
+
+# --------------------------------------------------------------------- #
+# velocity block GMG (P2 vector field, wind-dependent operator)
+# --------------------------------------------------------------------- #
+
+class P2Transfer:
+    """P2 scalar-field transfer between consecutive meshes.
+
+    Uses the identity ``P2 dofs on coarse mesh == vertices of fine mesh``:
+    the first ``nv_f`` fine P2 dofs (fine vertices) coincide geometrically
+    with the coarse P2 dofs (injection/identity); each fine *edge midpoint*
+    dof is interpolated with the 6 coarse P2 basis values of its parent
+    cell, precomputed on the host.
+    """
+
+    def __init__(self, coarse: TriMesh, fine: TriMesh, dtype):
+        nv_f, ne_f = fine.num_vertices, fine.num_edges
+        self.n_coarse = coarse.num_vertices + coarse.num_edges   # == nv_f
+        assert self.n_coarse == nv_f, "fine mesh must be refine(coarse)"
+        self.n_fine = nv_f + ne_f
+
+        # parent coarse cell of each fine cell: refine_uniform emits the 4
+        # child blocks contiguously, each of length nc_coarse
+        nc_c = coarse.num_cells
+        child_parent = np.tile(np.arange(nc_c, dtype=np.int64), 4)
+
+        # fine edge -> one incident fine cell -> parent coarse cell
+        fe_cell = np.full(ne_f, -1, dtype=np.int64)
+        for k in range(3):
+            fe_cell[fine.cell_edges[:, k]] = np.arange(fine.num_cells)
+        parent = child_parent[fe_cell]
+
+        # midpoint reference coords in the parent coarse cell
+        mids = 0.5 * (fine.vertices[fine.edges[:, 0]]
+                      + fine.vertices[fine.edges[:, 1]])
+        v = coarse.vertices[coarse.cells[parent]]        # (ne_f, 3, 2)
+        J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+        rhs = mids - v[:, 0]
+        det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        xr = (J[:, 1, 1] * rhs[:, 0] - J[:, 0, 1] * rhs[:, 1]) / det
+        yr = (-J[:, 1, 0] * rhs[:, 0] + J[:, 0, 0] * rhs[:, 1]) / det
+        from ..fem.elements import p2_basis
+        phi, _ = p2_basis(np.stack([xr, yr], axis=1))     # (ne_f, 6)
+
+        nv_c = coarse.num_vertices
+        cdofs = np.concatenate([coarse.cells[parent],
+                                nv_c + coarse.cell_edges[parent]], axis=1)
+        self.mid_dofs = jnp.asarray(cdofs.astype(np.int32))   # (ne_f, 6)
+        self.mid_w = jnp.asarray(phi, dtype=dtype)
+
+    def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
+        mid = jnp.sum(self.mid_w * xc[self.mid_dofs], axis=1)
+        return jnp.concatenate([xc, mid])
+
+    def restrict(self, rf: jnp.ndarray) -> jnp.ndarray:
+        z = rf[:self.n_coarse]
+        upd = self.mid_w * rf[self.n_coarse:, None]
+        return z.at[self.mid_dofs].add(upd)
+
+    def inject(self, xf: jnp.ndarray) -> jnp.ndarray:
+        """Fine P2 -> coarse P2 by point evaluation (for the wind)."""
+        return xf[:self.n_coarse]
+
+
+class VelocityHierarchy:
+    """Per-level assemblers + P2 transfers + Dirichlet masks for the
+    velocity convection-diffusion block.
+
+    ``bc_markers``: facet markers carrying velocity Dirichlet BCs (values
+    are irrelevant — MG solves error equations with zero BCs).
+    """
+
+    def __init__(self, hier: MeshHierarchy, nu: float, dtype,
+                 bc_markers: Sequence[int] = (), fine_asm=None):
+        from ..fem.assemble import NSAssembler
+        self.hier = hier
+        self.nu = nu
+        self.dtype = dtype
+        self.asms = []
+        self.masks = []          # scalar-space masks (n2,)
+        self.transfers = []
+        last = len(hier.meshes) - 1
+        for l, mesh in enumerate(hier.meshes):
+            if l == last and fine_asm is not None:
+                asm = fine_asm          # the solver's own (maybe padded) asm
+            else:
+                asm = NSAssembler(mesh, nu=nu, dtype=dtype, quad_degree=4)
+            self.asms.append(asm)
+            m = np.zeros(asm.n2)
+            if bc_markers:
+                m[asm.W.V.facet_dofs(list(bc_markers))] = 1.0
+            self.masks.append(jnp.asarray(m, dtype=dtype))
+            if l > 0:
+                self.transfers.append(P2Transfer(hier.meshes[l - 1], mesh,
+                                                 dtype))
+
+
+class _VectorTransfer:
+    """Lift a scalar P2 transfer to the stacked [u_x; u_y] layout.
+
+    ``n2c``/``n2f`` are the (possibly alignment-padded) per-component sizes;
+    the scalar transfer acts on the leading real dofs, padding stays zero.
+    """
+
+    def __init__(self, t: P2Transfer, n2c: int, n2f: int):
+        self.t = t
+        self.n2c, self.n2f = n2c, n2f
+
+    def _pad(self, x, n):
+        return jnp.pad(x, (0, n - x.shape[0])) if n > x.shape[0] else x
+
+    def prolong(self, xc):
+        a, b = xc[:self.n2c][:self.t.n_coarse], xc[self.n2c:][:self.t.n_coarse]
+        return jnp.concatenate([self._pad(self.t.prolong(a), self.n2f),
+                                self._pad(self.t.prolong(b), self.n2f)])
+
+    def restrict(self, rf):
+        a, b = rf[:self.n2f][:self.t.n_fine], rf[self.n2f:][:self.t.n_fine]
+        return jnp.concatenate([self._pad(self.t.restrict(a), self.n2c),
+                                self._pad(self.t.restrict(b), self.n2c)])
+
+
+def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
+                                wind_fine, newton: bool, bc_mask_u_fine,
+                                dtype, omega: float = 0.6,
+                                supg: bool = False,
+                                theta: float = 1.0, inv_dt: float = 0.0):
+    """V-cycle preconditioner for the velocity block, re-discretizing the
+    convection(-reaction) operator on every level from the injected wind.
+
+    ``wind_fine`` is the stacked (2*n2_f,) velocity iterate (traced).
+    ``bc_mask_u_fine`` is the fine stacked Dirichlet+padding mask.
+    """
+    L = len(vh.asms)
+    fine_asm = vh.asms[-1]
+
+    # wind on every level by repeated injection (slices — free on TPU)
+    winds = [None] * L
+    winds[L - 1] = wind_fine
+    for l in range(L - 2, -1, -1):
+        t = vh.transfers[l]
+        wf = winds[l + 1]
+        n2f = vh.asms[l + 1].n2
+        winds[l] = jnp.concatenate([t.inject(wf[:n2f]), t.inject(wf[n2f:])])
+
+    matvecs, dinvs, masks_u, vtransfers = [], [], [], []
+    def level_values(asm, wl):
+        A1vals = asm.picard_matrix_values(wl).astype(dtype)
+        if theta != 1.0 or inv_dt != 0.0:
+            A1vals = theta * A1vals + inv_dt * asm.const.M2.vals.astype(dtype)
+        if supg:
+            A1vals = A1vals + asm.supg_values(wl).astype(dtype)
+        R = None
+        if newton:
+            R = asm.newton_reaction_values(wl).astype(dtype)
+            if theta != 1.0:
+                R = theta * R
+        return A1vals, R
+
+    level_vals_cache = []
+    for l, asm in enumerate(vh.asms):
+        wl = winds[l]
+        A1vals, R = level_values(asm, wl)
+        level_vals_cache.append((A1vals, R))
+        n2 = asm.n2
+        if l == L - 1:
+            mask_u = bc_mask_u_fine
+        else:
+            m = vh.masks[l]
+            mask_u = jnp.concatenate([m, m])
+        free = 1.0 - mask_u
+        A1 = ELL(asm.pat_p2.cols, A1vals, n2)
+
+        def mv(x, A1=A1, R=R, asm=asm, n2=n2, free=free, mask=mask_u):
+            xf = free * x
+            ux, uy = xf[:n2], xf[n2:]
+            yx = A1.mv(ux)
+            yy = A1.mv(uy)
+            if R is not None:
+                yx = yx + ELL(asm.pat_p2.cols, R[0, 0], n2).mv(ux) \
+                        + ELL(asm.pat_p2.cols, R[0, 1], n2).mv(uy)
+                yy = yy + ELL(asm.pat_p2.cols, R[1, 0], n2).mv(ux) \
+                        + ELL(asm.pat_p2.cols, R[1, 1], n2).mv(uy)
+            return free * jnp.concatenate([yx, yy]) + mask * x
+
+        diag1 = A1.diag_from(asm.pat_p2.diag_pos)
+        if R is not None:
+            diag1x = diag1 + ELL(asm.pat_p2.cols, R[0, 0], n2).diag_from(
+                asm.pat_p2.diag_pos)
+            diag1y = diag1 + ELL(asm.pat_p2.cols, R[1, 1], n2).diag_from(
+                asm.pat_p2.diag_pos)
+            diag = jnp.concatenate([diag1x, diag1y])
+        else:
+            diag = jnp.concatenate([diag1, diag1])
+        diag = jnp.where(mask_u > 0, 1.0, diag)
+        matvecs.append(mv)
+        dinvs.append(1.0 / diag)
+        masks_u.append(mask_u)
+        if l > 0:
+            vtransfers.append(_VectorTransfer(vh.transfers[l - 1],
+                                              vh.asms[l - 1].n2, n2))
+
+    # coarse solve: dense masked LU of the traced coarse operator
+    asm0 = vh.asms[0]
+    n2_0 = asm0.n2
+    mask0 = masks_u[0]
+
+    def coarse_solve_factory():
+        A1vals, Rv = level_vals_cache[0]
+        rows = jnp.broadcast_to(jnp.arange(n2_0)[:, None],
+                                asm0.pat_p2.cols.shape)
+        A1 = jnp.zeros((n2_0, n2_0), dtype).at[rows, asm0.pat_p2.cols].add(
+            A1vals)
+        Z = jnp.zeros_like(A1)
+        A = jnp.block([[A1, Z], [Z, A1]])
+        if Rv is not None:
+            blocks = [[jnp.zeros((n2_0, n2_0), dtype).at[
+                rows, asm0.pat_p2.cols].add(Rv[a, b]) for b in range(2)]
+                for a in range(2)]
+            A = A + jnp.block(blocks)
+        free0 = 1.0 - mask0
+        A = free0[:, None] * A * free0[None, :] + jnp.diag(mask0)
+        lu, piv = jax.scipy.linalg.lu_factor(A)
+        return lambda b: jax.scipy.linalg.lu_solve((lu, piv), b)
+
+    coarse_solve = coarse_solve_factory()
+    return make_vcycle(matvecs, dinvs, vtransfers, coarse_solve, masks_u,
+                       smooth_iters=cfg.smooth_iters, omega=omega,
+                       cycles=cfg.cycles)

@@ -40,12 +40,27 @@ from ..ops.sparse import ELL
 
 def make_pcd_apply(variant: str, ap_solve: Callable, mp_solve: Callable,
                    bc_mask: Optional[jnp.ndarray],
-                   nullspace: bool = False) -> Callable:
+                   nullspace: bool = False,
+                   active: Optional[jnp.ndarray] = None,
+                   theta: float = 1.0, inv_dt: float = 0.0) -> Callable:
     """Build ``pcd(kp: ELL, r_p) -> z_p``.
 
     ``ap_solve``/``mp_solve`` approximate Ap^{-1} (with BC masking built in)
     and Mp^{-1}.  ``bc_mask`` is the pcd-BC dof mask (1.0 at Dirichlet dofs)
-    or None when the problem has no pcd BCs (enclosed flow).
+    or None when the problem has no pcd BCs (enclosed flow).  ``active`` is
+    the real-dof mask (0.0 on alignment-padding dofs) used by the nullspace
+    projection; None means all dofs are real.
+
+    ``theta``/``inv_dt`` extend the applies to the unsteady theta-scheme
+    (SURVEY.md section 0: "unsteady problems add Mp/dt into Fp"): with
+    Fp = Mp/dt + theta (nu Ap + Kp) and the 1/nu-scaled Mp_s/Kp_s,
+
+      BRM1:  -Mp^-1 Fp Ap^-1  = -(theta Mp_s^-1 (I + Kp_s Ap^-1)
+                                  + inv_dt Ap^-1)
+      BRM2:  -Ap^-1 Fp Mp^-1  = -(theta Mp_s^-1 ... transposed order,
+                                  + inv_dt Ap^-1) — see apply bodies.
+
+    Steady case: theta=1, inv_dt=0 reduces to the reference applies.
     """
     if bc_mask is not None:
         free = 1.0 - bc_mask
@@ -55,10 +70,18 @@ def make_pcd_apply(variant: str, ap_solve: Callable, mp_solve: Callable,
     def chop(x):
         return x * free if free is not None else x
 
-    def project(x):
-        if nullspace:
-            return x - jnp.mean(x)
-        return x
+    if active is None:
+        def project(x):
+            if nullspace:
+                return x - jnp.mean(x)
+            return x
+    else:
+        n_active = jnp.sum(active)
+
+        def project(x):
+            if nullspace:
+                return x - (jnp.sum(x * active) / n_active) * active
+            return x
 
     def ap_inv(x):
         if nullspace:
@@ -68,12 +91,12 @@ def make_pcd_apply(variant: str, ap_solve: Callable, mp_solve: Callable,
     if variant == "BRM1":
         def apply(kp: ELL, x: jnp.ndarray) -> jnp.ndarray:
             w1 = ap_inv(chop(x))
-            return project(-mp_solve(x + kp.mv(w1)))
+            return project(-(theta * mp_solve(x + kp.mv(w1)) + inv_dt * w1))
     elif variant == "BRM2":
         def apply(kp: ELL, x: jnp.ndarray) -> jnp.ndarray:
             w1 = mp_solve(x)
-            w2 = chop(kp.mv(w1))
-            return project(-(w1 + ap_inv(w2)))
+            w2 = chop(theta * kp.mv(w1) + inv_dt * x)
+            return project(-(theta * w1 + ap_inv(w2)))
     else:
         raise ValueError(f"unknown PCD variant {variant!r}")
     return apply

@@ -1,0 +1,136 @@
+"""Unsteady Navier-Stokes: theta-scheme time stepping with PCD Oseen solves.
+
+Reference parity (SURVEY.md sections 2.1 item 11 / 3.5): each time step
+updates the previous-solution coefficient in the forms and runs the same
+PCD-preconditioned solve, with the constant operators (Mp, Ap, M) reused
+across ALL steps — here that reuse is structural: the jitted step is compiled
+once and re-executed with new state.
+
+The per-step nonlinear problem (theta in (0, 1]; 1 = implicit Euler,
+0.5 = Crank-Nicolson), pressure fully implicit:
+
+    M (u - u_old)/dt + theta C(u) u + (1-theta) C(u_old) u_old + B^T p = 0
+    B u = 0
+with  C(w) = nu L + N(w).
+
+``linearize_per_step`` Picard iterations are taken each step (1 = the
+standard semi-implicit scheme: wind frozen at u_old, a single Oseen solve
+per step — what the reference demo does with its "picard" setting).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.assemble import NSAssembler
+from ..fem.dofmap import DirichletBC
+from ..ops.sparse import ELL
+from .config import SolverConfig
+from .oseen import OseenSolver
+
+
+@dataclasses.dataclass
+class UnsteadyResult:
+    w: jnp.ndarray
+    times: List[float]
+    linear_iters: List[int]        # per time step (summed over inner Picard)
+    step_res: List[float]          # final nonlinear residual per step
+    wall_time: float
+    history: Optional[List[np.ndarray]] = None
+
+
+class UnsteadySolver:
+    """theta-scheme stepper around :class:`OseenSolver`."""
+
+    def __init__(self, asm: NSAssembler, bcs: Sequence[DirichletBC],
+                 config: SolverConfig = SolverConfig(), *,
+                 dt: float, theta: float = 1.0,
+                 linearization: str = "picard",
+                 enclosed: bool = False, pcd_marker: Optional[int] = None,
+                 ap_hierarchy=None, velocity_hierarchy=None):
+        self.asm = asm
+        self.dt = float(dt)
+        self.theta = float(theta)
+        self.enclosed = enclosed
+        self.oseen = OseenSolver(asm, bcs, config,
+                                 linearization=linearization,
+                                 enclosed=enclosed, pcd_marker=pcd_marker,
+                                 ap_hierarchy=ap_hierarchy,
+                                 velocity_hierarchy=velocity_hierarchy,
+                                 theta=theta, inv_dt=1.0 / dt)
+        self.n_u, self.n = self.oseen.n_u, self.oseen.n
+        dtc = self.oseen.dtype
+        n_u, n2 = self.n_u, asm.n2
+        free_u = self.oseen.free_u
+        th, idt = self.theta, 1.0 / self.dt
+        encl = enclosed
+        p_active = asm.p_active.astype(dtc)
+        n_p_real = float(asm.n1_real)
+
+        @jax.jit
+        def residual(w, u_old):
+            """theta-scheme residual at state w given previous velocity."""
+            u, p = w[:n_u], w[n_u:]
+            c = self.oseen.const_lo
+            du = (u - u_old).astype(dtc)
+            mass = jnp.concatenate([c.M2.mv(du[:n2]), c.M2.mv(du[n2:])]) * idt
+            ru_new, rp = asm.residual(u, p)          # C(u)u + B^T p ; B u
+            ru_old, _ = asm.residual(u_old, jnp.zeros_like(p))
+            ru = (mass + th * ru_new.astype(dtc)
+                  + (1.0 - th) * ru_old.astype(dtc))
+            ru = free_u * ru
+            rp = rp.astype(dtc)
+            if encl:
+                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
+            return jnp.concatenate([ru, rp])
+
+        self._residual = residual
+
+    def initial_state(self) -> jnp.ndarray:
+        w = jnp.zeros(self.oseen.n, dtype=self.oseen.dtype)
+        return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
+
+    def step(self, w: jnp.ndarray, *, picard_iters: int = 1,
+             rtol: float = 1e-6):
+        """Advance one time step; returns (w_new, total_linear_iters, res)."""
+        u_old = w[:self.n_u]
+        total = 0
+        rn = None
+        for _ in range(max(picard_iters, 1)):
+            F = self._residual(w, u_old)
+            rn = float(jnp.linalg.norm(F))
+            if rn <= rtol:
+                break
+            res = self.oseen.solve(w[:self.n_u], -F)
+            total += int(res.iters)
+            w = w + res.x
+        return w, total, rn
+
+    def solve(self, t_end: float, w0: Optional[jnp.ndarray] = None, *,
+              picard_iters: int = 1, keep_history: bool = False,
+              callback=None) -> UnsteadyResult:
+        t0 = time.perf_counter()
+        w = self.initial_state() if w0 is None else w0.astype(self.oseen.dtype)
+        t = 0.0
+        times, iters, resid = [], [], []
+        hist = [] if keep_history else None
+        n_steps = int(round(t_end / self.dt))
+        for k in range(n_steps):
+            w, it, rn = self.step(w, picard_iters=picard_iters)
+            t += self.dt
+            times.append(t)
+            iters.append(it)
+            resid.append(rn)
+            if keep_history:
+                hist.append(np.asarray(w))
+            if callback is not None:
+                callback(k, t, w)
+        return UnsteadyResult(w=w, times=times, linear_iters=iters,
+                              step_res=resid,
+                              wall_time=time.perf_counter() - t0,
+                              history=hist)

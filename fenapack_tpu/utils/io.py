@@ -1,0 +1,54 @@
+"""Checkpoint/resume + solution export.
+
+The reference has no checkpointing (SURVEY.md section 5.4) — demos write
+XDMF/PVD files for visualization only.  Here state = (w, t), so resumable
+checkpoints are trivial npz archives; ``save_vtk`` exports Taylor-Hood fields
+to legacy VTK for visualization parity with the reference demos.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def save_checkpoint(path: str, w, t: float = 0.0, meta: Optional[dict] = None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, w=np.asarray(w), t=t,
+             meta=json.dumps(meta or {}))
+
+
+def load_checkpoint(path: str) -> Tuple[np.ndarray, float, dict]:
+    d = np.load(path, allow_pickle=False)
+    return d["w"], float(d["t"]), json.loads(str(d["meta"]))
+
+
+def save_vtk(path: str, asm, w) -> None:
+    """Write velocity (P1 part) + pressure on the mesh as legacy VTK."""
+    mesh = asm.mesh
+    w = np.asarray(w)
+    nv = mesh.num_vertices
+    ux = w[:asm.n2][:nv]
+    uy = w[asm.n2:2 * asm.n2][:nv]
+    p = w[2 * asm.n2:][:asm.n1_real]
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nfenapack_tpu\nASCII\n")
+        f.write("DATASET UNSTRUCTURED_GRID\n")
+        f.write(f"POINTS {nv} float\n")
+        for v in mesh.vertices:
+            f.write(f"{v[0]} {v[1]} 0.0\n")
+        nc = mesh.num_cells
+        f.write(f"CELLS {nc} {4 * nc}\n")
+        for c in mesh.cells:
+            f.write(f"3 {c[0]} {c[1]} {c[2]}\n")
+        f.write(f"CELL_TYPES {nc}\n")
+        f.write("5\n" * nc)
+        f.write(f"POINT_DATA {nv}\n")
+        f.write("VECTORS velocity float\n")
+        for a, b in zip(ux, uy):
+            f.write(f"{a} {b} 0.0\n")
+        f.write("SCALARS pressure float 1\nLOOKUP_TABLE default\n")
+        for q in p:
+            f.write(f"{q}\n")

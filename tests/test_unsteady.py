@@ -1,0 +1,74 @@
+"""Unsteady theta-scheme tests (SURVEY.md section 3.5; BASELINE config 3).
+
+Physics oracle: in a straight channel with parabolic inflow, the
+Navier-Stokes steady state IS Poiseuille flow (u = (4y(1-y), 0), linear
+pressure) — implicit-Euler stepping must relax onto it, and the per-step
+PCD-preconditioned solves must stay cheap with the Mp/dt term in Fp.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fenapack_tpu.fem import mesh as meshmod
+from fenapack_tpu.fem.assemble import NSAssembler
+from fenapack_tpu.fem.dofmap import DirichletBC
+from fenapack_tpu.solvers.config import SolverConfig, overrides
+from fenapack_tpu.solvers.unsteady import UnsteadySolver
+
+
+def poiseuille(x):
+    v = np.zeros((x.shape[0], 2))
+    v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+    return v
+
+
+def build(dt, theta=1.0, nu=0.1, variant="BRM2"):
+    mesh = meshmod.channel_mesh(0, length=2.0)
+    asm = NSAssembler(mesh, nu)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], poiseuille)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": variant,
+                                     "krylov.rtol": 1e-8})
+    return UnsteadySolver(asm, bcs, cfg, dt=dt, theta=theta)
+
+
+def test_relaxes_to_poiseuille():
+    solver = build(dt=0.25, nu=0.1)
+    res = solver.solve(t_end=3.0, picard_iters=2)
+    w = np.asarray(res.w)
+    asm = solver.asm
+    coords = asm.W.V.dof_coords()
+    uex = poiseuille(coords)
+    ux = w[:asm.n2][:asm.n2_real]
+    uy = w[asm.n2:2 * asm.n2][:asm.n2_real]
+    err = max(np.abs(ux - uex[:, 0]).max(), np.abs(uy - uex[:, 1]).max())
+    assert err < 2e-3, err
+    # per-step solves stay cheap (Mp/dt makes the Schur PC stronger)
+    assert max(res.linear_iters) < 60, res.linear_iters
+
+
+def test_mass_term_strengthens_pcd():
+    """The Mp/dt term in Fp (SURVEY.md section 0) is what keeps the Schur PC
+    effective for mass-dominated (small dt) systems: dropping it from the
+    PCD apply while keeping M/dt in the system must cost iterations."""
+    import jax
+    from fenapack_tpu.solvers.pcd import make_pcd_apply
+
+    good = build(dt=0.01, nu=0.02)
+    _, it_good, _ = good.step(good.initial_state())
+
+    bad = build(dt=0.01, nu=0.02)
+    oseen = bad.oseen
+    oseen.pcd_apply = make_pcd_apply("BRM2", oseen.ap_solve, oseen.mp_solve,
+                                     oseen.pcd_mask, theta=1.0, inv_dt=0.0)
+    oseen._solve_jit = jax.jit(oseen._solve_impl)
+    _, it_bad, _ = bad.step(bad.initial_state())
+    assert it_good < it_bad, (it_good, it_bad)
+
+
+def test_crank_nicolson_runs():
+    solver = build(dt=0.25, theta=0.5, nu=0.1)
+    res = solver.solve(t_end=1.0, picard_iters=1)
+    assert np.all(np.isfinite(np.asarray(res.w)))
+    assert res.step_res[-1] < 1.0
