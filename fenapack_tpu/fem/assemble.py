@@ -1,4 +1,4 @@
-"""Batched (vectorized) Taylor-Hood assembly in JAX.
+"""Batched (vectorized) Taylor-Hood assembly in JAX — dimension-generic.
 
 TPU-native replacement for DOLFIN ``SystemAssembler`` + FFC element kernels
 and for the operator-collection role of
@@ -7,11 +7,15 @@ section 2.2 item 6): per-cell element tensors are computed as batched einsums
 over quadrature points (MXU-friendly), then scattered into static-sparsity
 ELL matrices with one ``scatter-add``.
 
+The same code path serves 2D (P2/P1 triangles) and 3D (P2/P1 tets,
+BASELINE.json config 4): the spatial dimension ``d`` only changes table
+shapes and the number of divergence blocks ``D[a]``.
+
 Lifecycle parity with ``PCDForm`` const/per-iteration flags: the constant
-operators (viscous Laplacian, divergence, pressure mass Mp and stiffness Ap)
-are assembled once per mesh; the wind-dependent ones (convection N(w), Newton
-reaction, pressure convection Kp incl. the BRM2 inflow surface term) are pure
-jit functions of the current velocity iterate.
+operators (viscous Laplacian, divergence, masses, pressure stiffness Ap) are
+assembled once per mesh; the wind-dependent ones (convection N(w), Newton
+reaction, pressure convection Kp incl. the BRM2 inflow surface term, SUPG)
+are pure jit functions of the current velocity iterate.
 """
 from __future__ import annotations
 
@@ -22,8 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import elements
-from .mesh import TriMesh, INFLOW
+from .mesh import INFLOW
 from .dofmap import TaylorHood
 from ..ops.sparse import ELL, SparsityPattern, pattern_from_dofmaps
 
@@ -41,25 +44,38 @@ class ConstOperators:
     """Mesh-constant operators (assembled once).
 
     ``L`` is the *unscaled* scalar P2 stiffness (vector Laplacian acts
-    per-component); ``Dx``/``Dy`` are the divergence blocks with the
-    ``-int q d_a u_a`` sign convention, so the monolithic system is
-    ``[[A, D^T], [D, 0]]``; ``Mp`` is already scaled by 1/nu (fenapack demo
-    convention ``mp = (1/nu) p q dx``); ``Ap`` is the unscaled pressure
-    Laplacian ``grad p . grad q dx``.
+    per-component); ``D[a]``/``DT[a]`` are the divergence/gradient blocks per
+    spatial direction with the ``-int q d_a u_a`` sign convention, so the
+    monolithic system is ``[[A, D^T], [D, 0]]``; ``Mp`` is scaled by 1/nu
+    (fenapack demo convention ``mp = (1/nu) p q dx``); ``Ap`` the unscaled
+    pressure Laplacian; ``M2`` the unscaled scalar P2 mass (unsteady M/dt).
     """
     L: ELL
-    Dx: ELL
-    Dy: ELL
-    DxT: ELL
-    DyT: ELL
     Mp: ELL
     Ap: ELL
-    M2: ELL      # scalar P2 mass (unscaled) — unsteady M/dt velocity term
+    M2: ELL
+    D: Tuple[ELL, ...]
+    DT: Tuple[ELL, ...]
+
+    # 2D-era named accessors (kept for existing call sites/tests)
+    @property
+    def Dx(self):
+        return self.D[0]
+
+    @property
+    def Dy(self):
+        return self.D[1]
+
+    @property
+    def DxT(self):
+        return self.DT[0]
+
+    @property
+    def DyT(self):
+        return self.DT[1]
 
     def tree_flatten(self):
-        fields = (self.L, self.Dx, self.Dy, self.DxT, self.DyT, self.Mp,
-                  self.Ap, self.M2)
-        return fields, None
+        return (self.L, self.Mp, self.Ap, self.M2, self.D, self.DT), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -67,19 +83,24 @@ class ConstOperators:
 
 
 class NSAssembler:
-    """Vectorized Navier-Stokes / PCD operator assembly on one mesh.
+    """Vectorized Navier-Stokes / PCD operator assembly on one mesh (2D/3D).
 
     Host-side ``__init__`` precomputes geometry, dofmaps and sparsity
-    patterns; every ``*_values``/``assemble_*`` method is a pure function of
+    patterns; every ``*_values``/``residual`` method is a pure function of
     the velocity iterate, safe to call under ``jit``.
+
+    Velocity layout: ``u = [u_0 (n2); ...; u_{d-1} (n2)]`` (n2 = padded
+    scalar P2 size when ``row_align > 1``).
     """
 
-    def __init__(self, mesh: TriMesh, nu: float, dtype=jnp.float64,
+    def __init__(self, mesh, nu: float, dtype=jnp.float64,
                  quad_degree: int = 5, inflow_marker: int = INFLOW,
                  row_align: int = 1):
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
+        d = mesh.vertices.shape[1]
+        self.dim = d
         W = TaylorHood(mesh, align=row_align)
         self.W = W
         self.row_align = row_align
@@ -90,33 +111,40 @@ class NSAssembler:
         # active-dof masks (0.0 on alignment padding)
         p_act = np.zeros(self.n1)
         p_act[:self.n1_real] = 1.0
-        u_act = np.zeros(2 * self.n2)
-        u_act[:self.n2_real] = 1.0
-        u_act[self.n2:self.n2 + self.n2_real] = 1.0
+        u_act = np.zeros(d * self.n2)
+        for a in range(d):
+            u_act[a * self.n2:a * self.n2 + self.n2_real] = 1.0
         self.p_active = jnp.asarray(p_act, dtype=dtype)
         self.u_active = jnp.asarray(u_act, dtype=dtype)
 
         # --- basis tables -------------------------------------------------
-        qp, qw = elements.triangle_quadrature(quad_degree)
-        phi2, dphi2 = elements.p2_basis(qp)       # (nq,6), (nq,6,2)
-        phi1, dphi1 = elements.p1_basis(qp)       # (nq,3), (nq,3,2) const rows
+        if d == 2:
+            from . import elements as el
+            qp, qw = el.triangle_quadrature(quad_degree)
+            phi2, dphi2 = el.p2_basis(qp)
+            phi1, dphi1 = el.p1_basis(qp)
+        else:
+            from . import elements3d as el
+            qp, qw = el.tet_quadrature(quad_degree)
+            phi2, dphi2 = el.p2_basis(qp)
+            phi1, dphi1 = el.p1_basis(qp)
         self.nq = qp.shape[0]
+        self.nb2 = phi2.shape[1]        # 6 (2D) / 10 (3D)
+        self.nb1 = phi1.shape[1]        # 3 (2D) / 4 (3D)
 
         # --- geometry -----------------------------------------------------
-        v = mesh.vertices[mesh.cells]             # (nc,3,2)
-        J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
-        detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
-        Jinv = np.empty_like(J)
-        Jinv[:, 0, 0] = J[:, 1, 1] / detJ
-        Jinv[:, 0, 1] = -J[:, 0, 1] / detJ
-        Jinv[:, 1, 0] = -J[:, 1, 0] / detJ
-        Jinv[:, 1, 1] = J[:, 0, 0] / detJ
+        v = mesh.vertices[mesh.cells]                 # (nc, d+1, d)
+        J = np.stack([v[:, i + 1] - v[:, 0] for i in range(d)], axis=2)
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)
         adet = np.abs(detJ)
+        self._v0 = v[:, 0]
+        self._Jinv_np = Jinv
 
-        cd2 = W.V.cell_dofs.astype(np.int32)      # (nc,6)
-        cd1 = W.Q.cell_dofs.astype(np.int32)      # (nc,3)
+        cd2 = W.V.cell_dofs.astype(np.int32)          # (nc, nb2)
+        cd1 = W.Q.cell_dofs.astype(np.int32)          # (nc, nb1)
 
-        # physical gradients, precomputed (g2: (nc,nq,6,2); g1: (nc,3,2))
+        # physical gradients (g2: (nc,nq,nb2,d); g1: (nc,nb1,d) const rows)
         g2 = np.einsum("qik,ckd->cqid", dphi2, Jinv)
         g1 = np.einsum("ik,ckd->cid", dphi1[0], Jinv)
 
@@ -153,8 +181,10 @@ class NSAssembler:
         self.pat_p1 = pattern_from_dofmaps(cd1, cd1, self.n1, self.n1)
         self.pat_div = pattern_from_dofmaps(cd1, cd2, self.n1, self.n2)
         self.pat_divT = pattern_from_dofmaps(cd2, cd1, self.n2, self.n1)
-        for pat, width in ((self.pat_p2, 36), (self.pat_p1, 9),
-                           (self.pat_div, 18), (self.pat_divT, 18)):
+        nb2, nb1 = self.nb2, self.nb1
+        for pat, width in ((self.pat_p2, nb2 * nb2), (self.pat_p1, nb1 * nb1),
+                           (self.pat_div, nb1 * nb2),
+                           (self.pat_divT, nb2 * nb1)):
             pat.pad_entries(nc_pad * width)
 
         # --- boundary facet data for surface integrals --------------------
@@ -167,49 +197,65 @@ class NSAssembler:
     def _setup_facets(self, inflow_marker: int):
         """Precompute inflow-facet quadrature tables for the BRM2 kp surface
         term ``-(1/nu) (w.n) p q ds`` (fenapack demo; Olshanskii-Vassilevski
-        2007 variant, SURVEY.md section 0)."""
+        2007 variant, SURVEY.md section 0).
+
+        Dimension-generic strategy: build physical facet quadrature points
+        from the facet vertices, then recover each point's reference
+        coordinates in the OWNING cell via the inverse affine map — no
+        local-edge/face bookkeeping.
+        """
         mesh = self.mesh
+        d = self.dim
         sel = np.where(mesh.facet_markers == inflow_marker)[0]
         self.n_inflow_facets = sel.shape[0]
         if sel.shape[0] == 0:
             return
-        facets = mesh.boundary_facets[sel]
-        fcells = mesh.facet_cells[sel]
-        normals = mesh.facet_normals()[sel]
-        t, wq = elements.interval_quadrature(4)
-        ntq = t.shape[0]
-        nf = sel.shape[0]
 
-        phi2_f = np.empty((nf, ntq, 6))
-        phi1_f = np.empty((nf, ntq, 3))
-        lengths = np.empty(nf)
-        verts_ref = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
-        for idx in range(nf):
-            eid = facets[idx]
-            c = fcells[idx]
-            va, vb = mesh.edges[eid]
-            lengths[idx] = np.linalg.norm(mesh.vertices[vb] - mesh.vertices[va])
-            cell_v = list(mesh.cells[c])
-            la, lb = cell_v.index(va), cell_v.index(vb)
-            k = 3 - la - lb
-            i_loc, j_loc = (k + 1) % 3, (k + 2) % 3
-            if cell_v[i_loc] != va:
-                i_loc, j_loc = j_loc, i_loc
-            pref = ((1 - t)[:, None] * verts_ref[i_loc]
-                    + t[:, None] * verts_ref[j_loc])
-            p2, _ = elements.p2_basis(pref)
-            p1, _ = elements.p1_basis(pref)
-            phi2_f[idx] = p2
-            phi1_f[idx] = p1
+        if d == 2:
+            from . import elements as el
+            fv = mesh.edges[mesh.boundary_facets[sel]]        # (nf, 2)
+            fcells = mesh.facet_cells[sel]
+            normals = mesh.facet_normals()[sel]
+            t, wq = el.interval_quadrature(4)                 # sums to 1
+            bary = np.stack([1 - t, t], axis=1)               # (ntq, 2)
+            a = mesh.vertices[fv[:, 0]]
+            b = mesh.vertices[fv[:, 1]]
+            measure = np.linalg.norm(b - a, axis=1)           # length
+            basis2, basis1 = el.p2_basis, el.p1_basis
+        else:
+            from . import elements3d as el3
+            from . import elements as el2
+            fv = mesh.boundary_faces[sel]                     # (nf, 3)
+            fcells = mesh.face_cells[sel]
+            normals = mesh.face_normals()[sel]
+            qp2, wq = el2.triangle_quadrature(4)              # sums to 1/2
+            bary = np.concatenate([1 - qp2.sum(1, keepdims=True), qp2],
+                                  axis=1)                     # (ntq, 3)
+            measure = 2.0 * mesh.face_areas()[sel]            # 2A * w == ds
+            basis2, basis1 = el3.p2_basis, el3.p1_basis
+
+        # physical quad points: (nf, ntq, d)
+        verts = mesh.vertices[fv]                             # (nf, nv_f, d)
+        pts = np.einsum("qv,fvd->fqd", bary, verts)
+        # reference coords in owning cell
+        v0 = self._v0[fcells][:, None, :]                     # (nf, 1, d)
+        Jinv = self._Jinv_np[fcells]                          # (nf, d, d)
+        pref = np.einsum("fkd,fqd->fqk", Jinv, pts - v0)
+        nf, ntq = pref.shape[:2]
+        flat = pref.reshape(-1, d)
+        p2, _ = basis2(flat)
+        p1, _ = basis1(flat)
 
         dt = self.dtype
-        self.f_phi2 = jnp.asarray(phi2_f, dtype=dt)
-        self.f_phi1 = jnp.asarray(phi1_f, dtype=dt)
-        self.f_wlen = jnp.asarray(lengths[:, None] * wq[None, :], dtype=dt)  # (nf, ntq)
+        self.f_phi2 = jnp.asarray(p2.reshape(nf, ntq, -1), dtype=dt)
+        self.f_phi1 = jnp.asarray(p1.reshape(nf, ntq, -1), dtype=dt)
+        self.f_wlen = jnp.asarray(measure[:, None] * wq[None, :], dtype=dt)
         self.f_normals = jnp.asarray(normals, dtype=dt)
-        self.f_cd2 = jnp.asarray(np.asarray(self.cd2)[fcells])   # (nf,6)
-        f_cd1 = np.asarray(self.cd1)[fcells]
-        self.f_cd1 = jnp.asarray(f_cd1)                          # (nf,3)
+        cd2np = np.asarray(self.cd2)
+        cd1np = np.asarray(self.cd1)
+        self.f_cd2 = jnp.asarray(cd2np[fcells])
+        f_cd1 = cd1np[fcells]
+        self.f_cd1 = jnp.asarray(f_cd1)
         # surface entries land in the *volume* P1 pattern's slots
         self.kp_surf_pos = self.pat_p1.entry_positions(f_cd1, f_cd1)
 
@@ -222,27 +268,33 @@ class NSAssembler:
         mass_p2 = jnp.einsum("cq,qi,qj->cij", w, phi2, phi2)
         mass_p1 = jnp.einsum("cq,ql,qm->clm", w, phi1, phi1) / self.nu
         stiff_p1 = jnp.einsum("c,cld,cmd->clm", jnp.sum(w, axis=1), g1, g1)
-        # divergence: D[l,(j,a)] = -int psi_l d_a phi_j
-        dx = -jnp.einsum("cq,ql,cqj->clj", w, phi1, g2[..., 0])
-        dy = -jnp.einsum("cq,ql,cqj->clj", w, phi1, g2[..., 1])
+        # divergence blocks: D_a[l,j] = -int psi_l d_a phi_j
+        div = [-jnp.einsum("cq,ql,cqj->clj", w, phi1, g2[..., a])
+               for a in range(self.dim)]
 
         L = self.pat_p2.assemble(visc)
-        Dx = self.pat_div.assemble(dx)
-        Dy = self.pat_div.assemble(dy)
-        DxT = self.pat_divT.assemble(jnp.swapaxes(dx, 1, 2))
-        DyT = self.pat_divT.assemble(jnp.swapaxes(dy, 1, 2))
+        D = tuple(self.pat_div.assemble(da) for da in div)
+        DT = tuple(self.pat_divT.assemble(jnp.swapaxes(da, 1, 2))
+                   for da in div)
         Mp = self.pat_p1.assemble(mass_p1)
         Ap = self.pat_p1.assemble(stiff_p1)
         M2 = self.pat_p2.assemble(mass_p2)
-        return ConstOperators(L=L, Dx=Dx, Dy=Dy, DxT=DxT, DyT=DyT, Mp=Mp,
-                              Ap=Ap, M2=M2)
+        return ConstOperators(L=L, Mp=Mp, Ap=Ap, M2=M2, D=D, DT=DT)
 
     # ------------------------------------------------------------------ #
+    def split_u(self, u: jnp.ndarray):
+        """Components of the stacked velocity vector."""
+        n2 = self.n2
+        return [u[a * n2:(a + 1) * n2] for a in range(self.dim)]
+
+    def u_cell(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Per-cell velocity dof values (nc, nb2, d)."""
+        comps = self.split_u(u)
+        return jnp.stack([c[self.cd2] for c in comps], axis=-1)
+
     def wind_at_quad(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Velocity (stacked (2*n2,)) evaluated at cell quad points (nc,nq,2)."""
-        ucell = jnp.stack([u[:self.n2][self.cd2], u[self.n2:][self.cd2]],
-                          axis=-1)                       # (nc,6,2)
-        return jnp.einsum("qi,cid->cqd", self.phi2, ucell)
+        """Velocity (stacked (d*n2,)) evaluated at cell quad points (nc,nq,d)."""
+        return jnp.einsum("qi,cid->cqd", self.phi2, self.u_cell(u))
 
     def convection_values(self, u: jnp.ndarray) -> jnp.ndarray:
         """Scalar convection N(w) ELL values: N[i,j] = int (w.grad phi_j) phi_i."""
@@ -252,15 +304,14 @@ class NSAssembler:
         return self.pat_p2.assemble_values(elem)
 
     def newton_reaction_values(self, u: jnp.ndarray) -> jnp.ndarray:
-        """(2,2,n2,K) ELL values of R_ab[i,j] = int phi_j (d_b u_a) phi_i."""
-        ucell = jnp.stack([u[:self.n2][self.cd2], u[self.n2:][self.cd2]],
-                          axis=-1)                       # (nc,6,a)
-        gradu = jnp.einsum("cqib,cia->cqab", self.g2, ucell)
+        """(d,d,n2,K) ELL values of R_ab[i,j] = int phi_j (d_b u_a) phi_i."""
+        d = self.dim
+        gradu = jnp.einsum("cqib,cia->cqab", self.g2, self.u_cell(u))
         elem = jnp.einsum("cq,qi,qj,cqab->abcij", self.wdet, self.phi2,
-                          self.phi2, gradu)              # (2,2,nc,6,6)
-        flat = elem.reshape(4, -1)
+                          self.phi2, gradu)          # (d,d,nc,nb2,nb2)
+        flat = elem.reshape(d * d, -1)
         vals = jax.vmap(self.pat_p2.assemble_values)(flat)
-        return vals.reshape(2, 2, self.pat_p2.n_rows, self.pat_p2.K)
+        return vals.reshape(d, d, self.pat_p2.n_rows, self.pat_p2.K)
 
     def kp_values(self, u: jnp.ndarray, surface: bool = False) -> jnp.ndarray:
         """Pressure convection Kp = (1/nu) int (w.grad p) q dx
@@ -270,8 +321,8 @@ class NSAssembler:
                           uq, self.g1) / self.nu
         vals = self.pat_p1.assemble_values(elem)
         if surface and self.n_inflow_facets:
-            ucell = jnp.stack([u[:self.n2][self.f_cd2],
-                               u[self.n2:][self.f_cd2]], axis=-1)   # (nf,6,2)
+            comps = self.split_u(u)
+            ucell = jnp.stack([c[self.f_cd2] for c in comps], axis=-1)
             uq_f = jnp.einsum("fqi,fid->fqd", self.f_phi2, ucell)
             un = jnp.einsum("fqd,fd->fq", uq_f, self.f_normals)
             elem_s = -jnp.einsum("fq,fq,fql,fqm->flm", self.f_wlen, un,
@@ -288,19 +339,18 @@ class NSAssembler:
         ``delta * (w.grad u)(w.grad v)`` to the *preconditioner* velocity form
         ``J_pc`` so the 00-block subsolve stays robust at high Reynolds
         number.  Parameter (Elman-Silvester-Wathen, Finite Elements and Fast
-        Iterative Solvers 2nd ed., sec. 8.3.2 / eq. for delta*):
+        Iterative Solvers 2nd ed., sec. 8.3.2):
 
             Pe_c   = |w|_c h_c / (2 nu)        (cell Peclet number)
             delta  = h_c / (2 |w|_c) * (1 - 1/Pe_c)   if Pe_c > 1 else 0
         """
-        uq = self.wind_at_quad(u)                    # (nc,nq,2)
-        umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))   # (nc,nq)
+        uq = self.wind_at_quad(u)
+        umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
         h = self.h_cell[:, None]
         safe_u = jnp.maximum(umag, 1e-30)
         pe = safe_u * h / (2.0 * self.nu)
         delta = jnp.where(pe > 1.0, h / (2.0 * safe_u) * (1.0 - 1.0 / pe),
                           0.0)
-        # (w . grad phi_i) at quad points: (nc, nq, 6)
         wg = jnp.einsum("cqd,cqid->cqi", uq, self.g2)
         elem = jnp.einsum("cq,cq,cqi,cqj->cij", self.wdet, delta, wg, wg)
         return self.pat_p2.assemble_values(elem)
@@ -312,12 +362,13 @@ class NSAssembler:
 
     def residual(self, u: jnp.ndarray, p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Steady NS residual F(w) with zero body force, natural outflow:
-        ``ru = A1(u) u + D^T p``, ``rp = D u`` (BC masking applied by caller)."""
+        ``ru_a = A1(u) u_a + DT_a p``, ``rp = sum_a D_a u_a``
+        (BC masking applied by caller)."""
         A1 = ELL(cols=self.pat_p2.cols, vals=self.picard_matrix_values(u),
                  n_cols=self.n2)
-        ux, uy = u[:self.n2], u[self.n2:]
+        comps = self.split_u(u)
         c = self.const
-        ru = jnp.concatenate([A1.mv(ux) + c.DxT.mv(p),
-                              A1.mv(uy) + c.DyT.mv(p)])
-        rp = c.Dx.mv(ux) + c.Dy.mv(uy)
+        ru = jnp.concatenate([A1.mv(comps[a]) + c.DT[a].mv(p)
+                              for a in range(self.dim)])
+        rp = sum(c.D[a].mv(comps[a]) for a in range(self.dim))
         return ru, rp

@@ -72,8 +72,61 @@ class P2Space:
 
 
 @dataclasses.dataclass
+class P1Space3D:
+    """Scalar continuous P1 on tets (pressure space of 3D Taylor-Hood)."""
+    mesh: object      # TetMesh
+
+    @property
+    def dim(self) -> int:
+        return self.mesh.num_vertices
+
+    @property
+    def cell_dofs(self) -> np.ndarray:       # (nc, 4)
+        return self.mesh.cells
+
+    def dof_coords(self) -> np.ndarray:
+        return self.mesh.vertices
+
+    def facet_dofs(self, markers: Sequence[int]) -> np.ndarray:
+        sel = np.isin(self.mesh.facet_markers, markers)
+        fv = self.mesh.boundary_faces[sel]
+        return np.unique(fv.ravel()).astype(np.int32)
+
+
+@dataclasses.dataclass
+class P2Space3D:
+    """Scalar continuous P2 on tets (one velocity component)."""
+    mesh: object      # TetMesh
+
+    @property
+    def dim(self) -> int:
+        return self.mesh.num_vertices + self.mesh.num_edges
+
+    @property
+    def cell_dofs(self) -> np.ndarray:       # (nc, 10)
+        nv = self.mesh.num_vertices
+        return np.concatenate([self.mesh.cells, nv + self.mesh.cell_edges],
+                              axis=1)
+
+    def dof_coords(self) -> np.ndarray:
+        mids = 0.5 * (self.mesh.vertices[self.mesh.edges[:, 0]]
+                      + self.mesh.vertices[self.mesh.edges[:, 1]])
+        return np.concatenate([self.mesh.vertices, mids])
+
+    def facet_dofs(self, markers: Sequence[int]) -> np.ndarray:
+        """Vertices + edge midpoints of marked boundary faces."""
+        sel = np.isin(self.mesh.facet_markers, markers)
+        fv = self.mesh.boundary_faces[sel]
+        fe = self.mesh.face_edges[sel]
+        nv = self.mesh.num_vertices
+        return np.unique(np.concatenate([fv.ravel(), nv + fe.ravel()])
+                         ).astype(np.int32)
+
+
+@dataclasses.dataclass
 class TaylorHood:
-    """Mixed P2^2 x P1 space.  ``dim_u = 2 * n2``, ``dim_p = n1``.
+    """Mixed P2^d x P1 space (d from the mesh).  ``dim_u = d * n2``,
+    ``dim_p = n1``.
 
     ``align > 1`` pads each scalar space to a multiple of ``align`` — the
     multi-chip layout (fenapack_tpu.parallel): every distributed axis must be
@@ -81,19 +134,24 @@ class TaylorHood:
     blocks to ownership ranges.  Padded dofs touch no cell; solvers pin them
     to identity rows.
     """
-    mesh: TriMesh
+    mesh: object            # TriMesh or TetMesh
     align: int = 1
 
     def __post_init__(self):
-        self.V = P2Space(self.mesh)     # scalar component space
-        self.Q = P1Space(self.mesh)
+        self.gdim = self.mesh.vertices.shape[1]
+        if self.gdim == 2:
+            self.V = P2Space(self.mesh)     # scalar component space
+            self.Q = P1Space(self.mesh)
+        else:
+            self.V = P2Space3D(self.mesh)
+            self.Q = P1Space3D(self.mesh)
         a = self.align
         self.n2 = -(-self.V.dim // a) * a      # padded scalar P2 size
         self.n1 = -(-self.Q.dim // a) * a      # padded P1 size
 
     @property
     def dim_u(self) -> int:
-        return 2 * self.n2
+        return self.gdim * self.n2
 
     @property
     def dim_p(self) -> int:
@@ -123,13 +181,14 @@ class DirichletBC:
     @staticmethod
     def velocity(W: TaylorHood, markers: Sequence[int],
                  value: Callable[[np.ndarray], np.ndarray]) -> "DirichletBC":
-        """``value`` maps coords (n,2) -> velocity (n,2)."""
+        """``value`` maps coords (n,d) -> velocity (n,d)."""
         sdofs = W.V.facet_dofs(markers)
         coords = W.V.dof_coords()[sdofs]
         vals = np.asarray(value(coords), dtype=np.float64)
-        dofs = np.concatenate([W.velocity_dof(sdofs, 0), W.velocity_dof(sdofs, 1)])
+        d = W.gdim
+        dofs = np.concatenate([W.velocity_dof(sdofs, a) for a in range(d)])
         return DirichletBC(dofs.astype(np.int32),
-                           np.concatenate([vals[:, 0], vals[:, 1]]))
+                           np.concatenate([vals[:, a] for a in range(d)]))
 
     @staticmethod
     def pressure(W: TaylorHood, markers: Sequence[int],

@@ -80,8 +80,9 @@ class ShardedOseen:
 
         # constant operators: row-shard ELL values and column indices
         const = asm.const
-        for fname in ("L", "Dx", "Dy", "DxT", "DyT", "Mp", "Ap"):
-            ell = getattr(const, fname)
+        ells = [const.L, const.Mp, const.Ap, const.M2,
+                *const.D, *const.DT]
+        for ell in ells:
             ell.vals = put_rows(ell.vals)
             ell.cols = put_rows(ell.cols)
 

@@ -40,8 +40,10 @@ class KrylovConfig:
 class PCDConfig:
     variant: str = "BRM2"                # BRM1 | BRM2
     ap: SubsolveConfig = SubsolveConfig(method="lu")
+    # Jacobi-scaled P1 mass spectrum is mesh-uniform: contained in
+    # [0.15, 2.5] for triangles and tets alike
     mp: SubsolveConfig = SubsolveConfig(method="chebyshev", iters=6,
-                                        bounds=(0.2, 2.0))
+                                        bounds=(0.15, 2.5))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,8 +68,9 @@ class OseenSolver:
         dt = _dtype_of(config)
         self.dtype = dt
         n2, n1 = asm.n2, asm.n1
-        self.n_u = 2 * n2
-        self.n = 2 * n2 + n1
+        self.d = asm.dim
+        self.n_u = self.d * n2
+        self.n = self.n_u + n1
 
         bc_mask_u, bc_vals_u = merge_bcs(bcs, self.n_u)
         # alignment-padding velocity dofs are pinned to identity rows
@@ -100,8 +101,9 @@ class OseenSolver:
             cast = lambda e: ELL(e.cols, e.vals.astype(dt), e.n_cols)
             from ..fem.assemble import ConstOperators
             self.const_lo = ConstOperators(
-                L=cast(c.L), Dx=cast(c.Dx), Dy=cast(c.Dy), DxT=cast(c.DxT),
-                DyT=cast(c.DyT), Mp=cast(c.Mp), Ap=cast(c.Ap), M2=cast(c.M2))
+                L=cast(c.L), Mp=cast(c.Mp), Ap=cast(c.Ap), M2=cast(c.M2),
+                D=tuple(cast(e) for e in c.D),
+                DT=tuple(cast(e) for e in c.DT))
         else:
             self.const_lo = c
 
@@ -188,21 +190,51 @@ class OseenSolver:
         n2 = asm.n2
         dt = self.dtype
         method = cfg.velocity.method
+        d = self.d
         if method == "lu":
             # dense masked LU each call (validation scale; exact like MUMPS)
             A1 = self._ell_to_dense(A1vals, asm.pat_p2.cols, n2, n2)
             Z = jnp.zeros_like(A1)
-            A = jnp.block([[A1, Z], [Z, A1]])
+            A = jnp.block([[A1 if a == b else Z for b in range(d)]
+                           for a in range(d)])
             if R is not None:
                 A = A + jnp.concatenate([
                     jnp.concatenate([
                         self._ell_to_dense(R[a, b], asm.pat_p2.cols, n2, n2)
-                        for b in range(2)], axis=1)
-                    for a in range(2)], axis=0)
+                        for b in range(d)], axis=1)
+                    for a in range(d)], axis=0)
             free = self.free_u
             A = free[:, None] * A * free[None, :] + jnp.diag(self.bc_mask_u)
             lu, piv = jax.scipy.linalg.lu_factor(A)
             return lambda r: jax.scipy.linalg.lu_solve((lu, piv), r)
+        if method in ("jacobi", "chebyshev"):
+            # matrix-free fixed-sweep smoothers for the velocity block —
+            # the large-3D path (BASELINE config 4: batched subsolves, no
+            # factorization); used as a weak-but-cheap PC inside FGMRES
+            mv = self._velocity_block_mv(A1vals, R)
+            diag1 = ELL(asm.pat_p2.cols, A1vals, n2).diag_from(
+                asm.pat_p2.diag_pos)
+            diag = jnp.concatenate([diag1] * d)
+            if R is not None:
+                rdiag = jnp.concatenate([
+                    ELL(asm.pat_p2.cols, R[a, a], n2).diag_from(
+                        asm.pat_p2.diag_pos) for a in range(d)])
+                diag = diag + rdiag
+            diag = jnp.where(self.bc_mask_u > 0, 1.0, diag)
+            dinv = 1.0 / diag
+            iters = cfg.velocity.iters
+            if method == "jacobi":
+                omega = 0.7
+
+                def solve(b, mv=mv, dinv=dinv):
+                    x = omega * dinv * b
+                    for _ in range(iters - 1):
+                        x = x + omega * dinv * (b - mv(x))
+                    return x
+                return solve
+            bounds = cfg.velocity.bounds or (0.1, 2.0)
+            return subsolve.chebyshev_solver(mv, dinv, bounds[0], bounds[1],
+                                             iters)
         if method == "gmg":
             from .gmg import make_velocity_gmg_from_wind
             return make_velocity_gmg_from_wind(
@@ -231,9 +263,28 @@ class OseenSolver:
         return (A1vals.astype(self.dtype),
                 None if R is None else R.astype(self.dtype))
 
+    def _velocity_block_mv(self, A1vals, R):
+        """Matvec of the (bc-masked) d-component velocity block."""
+        asm = self.asm
+        n2, d = asm.n2, self.d
+        A1 = ELL(asm.pat_p2.cols, A1vals, n2)
+        free_u, bc_u = self.free_u, self.bc_mask_u
+
+        def mv(x):
+            xf = free_u * x
+            comps = [xf[a * n2:(a + 1) * n2] for a in range(d)]
+            ys = [A1.mv(comps[a]) for a in range(d)]
+            if R is not None:
+                for a in range(d):
+                    for b in range(d):
+                        ys[a] = ys[a] + ELL(asm.pat_p2.cols, R[a, b],
+                                            n2).mv(comps[b])
+            return free_u * jnp.concatenate(ys) + bc_u * x
+        return mv
+
     def _matvec_factory(self, A1vals, R):
         asm = self.asm
-        n2, n_u = asm.n2, self.n_u
+        n2, n_u, d = asm.n2, self.n_u, self.d
         # high-precision values (IR residual path) use the f64 constants;
         # the compute-precision pipeline uses the cast copies
         c = asm.const if A1vals.dtype == asm.const.L.vals.dtype else self.const_lo
@@ -242,19 +293,16 @@ class OseenSolver:
 
         def matvec(x):
             xu = free_u * x[:n_u]
-            ux, uy = xu[:n2], xu[n2:]
+            comps = [xu[a * n2:(a + 1) * n2] for a in range(d)]
             p = x[n_u:]
-            yx = A1.mv(ux) + c.DxT.mv(p)
-            yy = A1.mv(uy) + c.DyT.mv(p)
+            ys = [A1.mv(comps[a]) + c.DT[a].mv(p) for a in range(d)]
             if R is not None:
-                R00 = ELL(asm.pat_p2.cols, R[0, 0], n2)
-                R01 = ELL(asm.pat_p2.cols, R[0, 1], n2)
-                R10 = ELL(asm.pat_p2.cols, R[1, 0], n2)
-                R11 = ELL(asm.pat_p2.cols, R[1, 1], n2)
-                yx = yx + R00.mv(ux) + R01.mv(uy)
-                yy = yy + R10.mv(ux) + R11.mv(uy)
-            yu = free_u * jnp.concatenate([yx, yy]) + bc_u * x[:n_u]
-            yp = c.Dx.mv(ux) + c.Dy.mv(uy)
+                for a in range(d):
+                    for b in range(d):
+                        ys[a] = ys[a] + ELL(asm.pat_p2.cols, R[a, b],
+                                            n2).mv(comps[b])
+            yu = free_u * jnp.concatenate(ys) + bc_u * x[:n_u]
+            yp = sum(c.D[a].mv(comps[a]) for a in range(d))
             if self.has_p_pad:
                 yp = yp + self.p_pad * p     # identity on padding rows
             return jnp.concatenate([yu, yp])
@@ -262,7 +310,7 @@ class OseenSolver:
 
     def _bt_mv(self, p):
         c = self.const_lo
-        return jnp.concatenate([c.DxT.mv(p), c.DyT.mv(p)])
+        return jnp.concatenate([c.DT[a].mv(p) for a in range(self.d)])
 
     # -------------------------------------------------------------- #
     def _solve_impl(self, wind, b):

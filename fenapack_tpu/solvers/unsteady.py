@@ -72,13 +72,16 @@ class UnsteadySolver:
         p_active = asm.p_active.astype(dtc)
         n_p_real = float(asm.n1_real)
 
+        d = asm.dim
+
         @jax.jit
         def residual(w, u_old):
             """theta-scheme residual at state w given previous velocity."""
             u, p = w[:n_u], w[n_u:]
             c = self.oseen.const_lo
             du = (u - u_old).astype(dtc)
-            mass = jnp.concatenate([c.M2.mv(du[:n2]), c.M2.mv(du[n2:])]) * idt
+            mass = jnp.concatenate(
+                [c.M2.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) * idt
             ru_new, rp = asm.residual(u, p)          # C(u)u + B^T p ; B u
             ru_old, _ = asm.residual(u_old, jnp.zeros_like(p))
             ru = (mass + th * ru_new.astype(dtc)
