@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 jax.config.update("jax_enable_x64", True)   # f64 only for IR true residuals
+# persistent compile cache: repeat bench runs skip the 1-10 min XLA compiles
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import numpy as np
 import jax.numpy as jnp
@@ -39,9 +43,17 @@ from fenapack_tpu.solvers.nonlinear import NonlinearSolver
 from fenapack_tpu.ops.sparse import ELL
 
 
-def build(level: int, variant: str):
-    mesh = meshmod.backward_step_mesh(level)
-    asm = NSAssembler(mesh, 0.02, dtype=jnp.float64)
+def build(level: int, variant: str, ls: str = "direct",
+          block_size=None):
+    if ls == "iterative":
+        from fenapack_tpu.solvers import gmg
+        hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), level)
+        mesh = hier.fine
+    else:
+        mesh = meshmod.backward_step_mesh(level)
+    # GMG transfers need natural ordering; block tiles help either way
+    asm = NSAssembler(mesh, 0.02, dtype=jnp.float64, block_size=block_size,
+                      reorder=(block_size is not None and ls != "iterative"))
 
     def inflow(x):
         v = np.zeros((x.shape[0], 2))
@@ -51,13 +63,29 @@ def build(level: int, variant: str):
     bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                 lambda x: np.zeros((x.shape[0], 2))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
-    cfg = overrides(SolverConfig(), {
+    over = {
         "dtype": "float32",
         "pcd.variant": variant,
         "krylov.rtol": 2e-6,          # inner IR correction tolerance
         "krylov.maxiter": 80,
-    })
-    return NonlinearSolver(asm, bcs, cfg)
+    }
+    ap_h = v_h = None
+    if ls == "iterative":
+        over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
+                     "velocity.cycles": 2, "pcd.ap.method": "gmg",
+                     "krylov.maxiter": 120})
+        marker = meshmod.INFLOW if variant == "BRM1" else meshmod.OUTFLOW
+        ap_h = gmg.PressureHierarchy(hier, jnp.float32,
+                                     pcd_markers=[marker],
+                                     block_size=block_size)
+        # reuse the solver's assembler as the fine level: avoids a duplicate
+        # full set of fine-grid operator constants in every jit program
+        v_h = gmg.VelocityHierarchy(hier, 0.02, jnp.float32,
+                                    bc_markers=[meshmod.WALL, meshmod.INFLOW],
+                                    fine_asm=asm, block_size=block_size)
+    cfg = overrides(SolverConfig(), over)
+    return NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ap_h,
+                           velocity_hierarchy=v_h)
 
 
 def picard_ir(nl, step=None, rtol_nl=1e-5, rtol_lin=1e-8, max_steps=25):
@@ -81,30 +109,42 @@ def picard_ir(nl, step=None, rtol_nl=1e-5, rtol_lin=1e-8, max_steps=25):
     return w, iters, res, step
 
 
-def time_pcd_apply(nl, w):
-    """Median latency of one jitted BRM2/BRM1 PCD apply."""
+def time_pcd_apply(nl, w, n_apply=200):
+    """Per-apply latency of the PCD apply, amortized over ``n_apply``
+    chained applies inside ONE jit (excludes host/tunnel round-trip)."""
     oseen = nl.oseen
     asm = nl.asm
     kpvals = asm.kp_values(
         w[:nl.n_u].astype(oseen.dtype),
         surface=(nl.oseen.config.pcd.variant == "BRM2")).astype(oseen.dtype)
-    kp = ELL(asm.pat_p1.cols, kpvals, asm.n1)
+    kp = asm.pat_p1.matrix(kpvals)
     r = jnp.asarray(np.random.default_rng(0).standard_normal(asm.n1),
                     dtype=oseen.dtype)
-    fn = jax.jit(lambda rr: oseen.pcd_apply(kp, rr))
-    fn(r).block_until_ready()
+    r = r / jnp.linalg.norm(r)
+
+    @jax.jit
+    def chain(r):
+        def body(x, _):
+            y = oseen.pcd_apply(kp, x)
+            return y / jnp.linalg.norm(y), None
+        out, _ = jax.lax.scan(body, r, None, length=n_apply)
+        return out
+
+    chain(r).block_until_ready()
     times = []
-    for _ in range(20):
+    for _ in range(5):
         t0 = time.perf_counter()
-        fn(r).block_until_ready()
+        chain(r).block_until_ready()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
+    return float(np.median(times) * 1e3 / n_apply)
 
 
 def main():
     level = int(os.environ.get("BENCH_LEVEL", "1"))
     variant = os.environ.get("BENCH_VARIANT", "BRM2")
-    nl = build(level, variant)
+    ls = os.environ.get("BENCH_LS", "direct")
+    bs = int(os.environ.get("BENCH_BLOCK", "32")) or None
+    nl = build(level, variant, ls=ls, block_size=bs)
 
     # warmup: compiles the fused step once
     _, _, _, step = picard_ir(nl, max_steps=2)
@@ -136,6 +176,8 @@ def main():
             "backend": jax.default_backend(),
             "level": level,
             "variant": variant,
+            "subsolves": ls,
+            "block_size": bs,
             "n_dof": int(nl.n),
             "nonlinear_steps": len(iters),
             "inner_iters_per_step": iters,

@@ -20,6 +20,8 @@ Public surface mirroring ``fenapack/__init__.py`` re-exports:
 from .fem.mesh import (TriMesh, rectangle_mesh, box_union_mesh,
                        backward_step_mesh, cavity_mesh, channel_mesh,
                        refine_uniform, WALL, INFLOW, OUTFLOW)
+from .fem.mesh3d import (TetMesh, box_mesh, box_union_mesh3d,
+                         backward_step_mesh3d, channel_mesh3d)
 from .fem.dofmap import TaylorHood, DirichletBC, merge_bcs
 from .fem.assemble import NSAssembler
 from .ops.sparse import ELL, SparsityPattern

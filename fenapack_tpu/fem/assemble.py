@@ -95,13 +95,19 @@ class NSAssembler:
 
     def __init__(self, mesh, nu: float, dtype=jnp.float64,
                  quad_degree: int = 5, inflow_marker: int = INFLOW,
-                 row_align: int = 1):
+                 row_align: int = 1, block_size: Optional[int] = None,
+                 reorder: Optional[bool] = None):
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
         d = mesh.vertices.shape[1]
         self.dim = d
-        W = TaylorHood(mesh, align=row_align)
+        # block-sparse layout (TPU production path: MXU tile SpMV instead of
+        # the scalar-slow XLA gather) wants RCM-relabeled dofs
+        self.block_size = block_size
+        if reorder is None:
+            reorder = block_size is not None
+        W = TaylorHood(mesh, align=row_align, reorder=reorder)
         self.W = W
         self.row_align = row_align
         self.n2 = W.n2                  # padded sizes (== real when align=1)
@@ -177,21 +183,48 @@ class NSAssembler:
         self.wdet = self.adet[:, None] * self.qw[None, :]
 
         # --- sparsity patterns --------------------------------------------
-        self.pat_p2 = pattern_from_dofmaps(cd2, cd2, self.n2, self.n2)
-        self.pat_p1 = pattern_from_dofmaps(cd1, cd1, self.n1, self.n1)
-        self.pat_div = pattern_from_dofmaps(cd1, cd2, self.n1, self.n2)
-        self.pat_divT = pattern_from_dofmaps(cd2, cd1, self.n2, self.n1)
+        # compute layout (block tiles on the TPU production path) + an ELL
+        # "hi" layout kept for high-precision IR residual operators: block
+        # fill-in at f64 would bloat every jit program's constants ~30x
+        bs = block_size
         nb2, nb1 = self.nb2, self.nb1
-        for pat, width in ((self.pat_p2, nb2 * nb2), (self.pat_p1, nb1 * nb1),
-                           (self.pat_div, nb1 * nb2),
-                           (self.pat_divT, nb2 * nb1)):
-            pat.pad_entries(nc_pad * width)
+        widths = (nb2 * nb2, nb1 * nb1, nb1 * nb2, nb2 * nb1)
+
+        def build_patterns(block):
+            pats = (pattern_from_dofmaps(cd2, cd2, self.n2, self.n2, block=block),
+                    pattern_from_dofmaps(cd1, cd1, self.n1, self.n1, block=block),
+                    pattern_from_dofmaps(cd1, cd2, self.n1, self.n2, block=block),
+                    pattern_from_dofmaps(cd2, cd1, self.n2, self.n1, block=block))
+            for pat, width in zip(pats, widths):
+                pat.pad_entries(nc_pad * width)
+            return pats
+
+        self.pat_p2, self.pat_p1, self.pat_div, self.pat_divT = \
+            build_patterns(bs)
+        if bs:
+            (self.pat_p2_hi, self.pat_p1_hi, self.pat_div_hi,
+             self.pat_divT_hi) = build_patterns(None)
+        else:
+            self.pat_p2_hi, self.pat_p1_hi = self.pat_p2, self.pat_p1
+            self.pat_div_hi, self.pat_divT_hi = self.pat_div, self.pat_divT
 
         # --- boundary facet data for surface integrals --------------------
         self._setup_facets(inflow_marker)
 
         # --- constant operators -------------------------------------------
-        self.const = self._assemble_constant()
+        if bs:
+            # compute-precision block constants (f32) + hi-precision ELL
+            c64 = self._assemble_constant(hi=False)
+            cast = lambda e: e.with_vals(e.vals.astype(jnp.float32))
+            self.const = ConstOperators(
+                L=cast(c64.L), Mp=cast(c64.Mp), Ap=cast(c64.Ap),
+                M2=cast(c64.M2), D=tuple(cast(e) for e in c64.D),
+                DT=tuple(cast(e) for e in c64.DT))
+            del c64
+            self.const_hi = self._assemble_constant(hi=True)
+        else:
+            self.const = self._assemble_constant()
+            self.const_hi = self.const
 
     # ------------------------------------------------------------------ #
     def _setup_facets(self, inflow_marker: int):
@@ -260,9 +293,16 @@ class NSAssembler:
         self.kp_surf_pos = self.pat_p1.entry_positions(f_cd1, f_cd1)
 
     # ------------------------------------------------------------------ #
-    def _assemble_constant(self) -> ConstOperators:
+    def _pats(self, hi: bool):
+        if hi:
+            return (self.pat_p2_hi, self.pat_p1_hi, self.pat_div_hi,
+                    self.pat_divT_hi)
+        return (self.pat_p2, self.pat_p1, self.pat_div, self.pat_divT)
+
+    def _assemble_constant(self, hi: bool = False) -> ConstOperators:
         w, g2, g1 = self.wdet, self.g2, self.g1
         phi2, phi1 = self.phi2, self.phi1
+        p2, p1, pdiv, pdivT = self._pats(hi)
 
         visc = jnp.einsum("cq,cqid,cqjd->cij", w, g2, g2)
         mass_p2 = jnp.einsum("cq,qi,qj->cij", w, phi2, phi2)
@@ -272,13 +312,12 @@ class NSAssembler:
         div = [-jnp.einsum("cq,ql,cqj->clj", w, phi1, g2[..., a])
                for a in range(self.dim)]
 
-        L = self.pat_p2.assemble(visc)
-        D = tuple(self.pat_div.assemble(da) for da in div)
-        DT = tuple(self.pat_divT.assemble(jnp.swapaxes(da, 1, 2))
-                   for da in div)
-        Mp = self.pat_p1.assemble(mass_p1)
-        Ap = self.pat_p1.assemble(stiff_p1)
-        M2 = self.pat_p2.assemble(mass_p2)
+        L = p2.assemble(visc)
+        D = tuple(pdiv.assemble(da) for da in div)
+        DT = tuple(pdivT.assemble(jnp.swapaxes(da, 1, 2)) for da in div)
+        Mp = p1.assemble(mass_p1)
+        Ap = p1.assemble(stiff_p1)
+        M2 = p2.assemble(mass_p2)
         return ConstOperators(L=L, Mp=Mp, Ap=Ap, M2=M2, D=D, DT=DT)
 
     # ------------------------------------------------------------------ #
@@ -296,22 +335,24 @@ class NSAssembler:
         """Velocity (stacked (d*n2,)) evaluated at cell quad points (nc,nq,d)."""
         return jnp.einsum("qi,cid->cqd", self.phi2, self.u_cell(u))
 
-    def convection_values(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Scalar convection N(w) ELL values: N[i,j] = int (w.grad phi_j) phi_i."""
+    def convection_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
+        """Scalar convection N(w) values: N[i,j] = int (w.grad phi_j) phi_i."""
         uq = self.wind_at_quad(u)
         elem = jnp.einsum("cq,qi,cqd,cqjd->cij", self.wdet, self.phi2,
                           uq, self.g2)
-        return self.pat_p2.assemble_values(elem)
+        return self._pats(hi)[0].assemble_values(elem)
 
-    def newton_reaction_values(self, u: jnp.ndarray) -> jnp.ndarray:
-        """(d,d,n2,K) ELL values of R_ab[i,j] = int phi_j (d_b u_a) phi_i."""
+    def newton_reaction_values(self, u: jnp.ndarray,
+                               hi: bool = False) -> jnp.ndarray:
+        """(d,d,*value_shape) values of R_ab[i,j] = int phi_j (d_b u_a) phi_i."""
         d = self.dim
+        pat = self._pats(hi)[0]
         gradu = jnp.einsum("cqib,cia->cqab", self.g2, self.u_cell(u))
         elem = jnp.einsum("cq,qi,qj,cqab->abcij", self.wdet, self.phi2,
                           self.phi2, gradu)          # (d,d,nc,nb2,nb2)
         flat = elem.reshape(d * d, -1)
-        vals = jax.vmap(self.pat_p2.assemble_values)(flat)
-        return vals.reshape(d, d, self.pat_p2.n_rows, self.pat_p2.K)
+        vals = jax.vmap(pat.assemble_values)(flat)
+        return vals.reshape((d, d) + pat.value_shape)
 
     def kp_values(self, u: jnp.ndarray, surface: bool = False) -> jnp.ndarray:
         """Pressure convection Kp = (1/nu) int (w.grad p) q dx
@@ -356,18 +397,22 @@ class NSAssembler:
         return self.pat_p2.assemble_values(elem)
 
     # ------------------------------------------------------------------ #
-    def picard_matrix_values(self, u: jnp.ndarray) -> jnp.ndarray:
-        """A1 = nu * L + N(u) scalar ELL values (applied to each component)."""
-        return self.nu * self.const.L.vals + self.convection_values(u)
+    def picard_matrix_values(self, u: jnp.ndarray,
+                             hi: bool = False) -> jnp.ndarray:
+        """A1 = nu * L + N(u) scalar values (applied to each component)."""
+        L = self.const_hi.L if hi else self.const.L
+        conv = self.convection_values(u, hi=hi)
+        return self.nu * L.vals.astype(conv.dtype) + conv
 
-    def residual(self, u: jnp.ndarray, p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def residual(self, u: jnp.ndarray, p: jnp.ndarray,
+                 hi: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Steady NS residual F(w) with zero body force, natural outflow:
         ``ru_a = A1(u) u_a + DT_a p``, ``rp = sum_a D_a u_a``
-        (BC masking applied by caller)."""
-        A1 = ELL(cols=self.pat_p2.cols, vals=self.picard_matrix_values(u),
-                 n_cols=self.n2)
+        (BC masking applied by caller).  ``hi`` selects the high-precision
+        ELL operators (the residual drives nonlinear/IR convergence)."""
+        A1 = self._pats(hi)[0].matrix(self.picard_matrix_values(u, hi=hi))
         comps = self.split_u(u)
-        c = self.const
+        c = self.const_hi if hi else self.const
         ru = jnp.concatenate([A1.mv(comps[a]) + c.DT[a].mv(p)
                               for a in range(self.dim)])
         rp = sum(c.D[a].mv(comps[a]) for a in range(self.dim))

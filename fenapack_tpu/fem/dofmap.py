@@ -123,6 +123,64 @@ class P2Space3D:
                          ).astype(np.int32)
 
 
+class ReorderedSpace:
+    """A scalar space with relabeled dofs: ``rank[old_dof] = new_dof``.
+
+    Used for bandwidth-reducing (RCM) orderings so the block-sparse matrix
+    layout (ops.sparse.BlockSparsityPattern) has few neighbor blocks per
+    block row.  All dof-producing methods return NEW ids consistently, so
+    solvers/BCs/assembly are oblivious to the reordering.
+    """
+
+    def __init__(self, base, rank: np.ndarray):
+        self.base = base
+        self.rank = np.asarray(rank, dtype=np.int32)
+        self._perm = np.argsort(self.rank)        # new -> old
+
+    @property
+    def dim(self) -> int:
+        return self.base.dim
+
+    @property
+    def cell_dofs(self) -> np.ndarray:
+        return self.rank[self.base.cell_dofs]
+
+    def dof_coords(self) -> np.ndarray:
+        return self.base.dof_coords()[self._perm]
+
+    def facet_dofs(self, markers) -> np.ndarray:
+        return self.rank[self.base.facet_dofs(markers)]
+
+    def vertex_dofs(self) -> np.ndarray:
+        """New dof ids sitting at mesh vertices (for field export)."""
+        return self.rank[:self.base.mesh.num_vertices]
+
+
+def _natural_vertex_dofs(space) -> np.ndarray:
+    return np.arange(space.mesh.num_vertices, dtype=np.int32)
+
+
+# natural orderings place vertex dofs first in every space here
+for _cls in (P1Space, P2Space, P1Space3D, P2Space3D):
+    _cls.vertex_dofs = _natural_vertex_dofs
+
+
+def rcm_rank(cell_dofs: np.ndarray, ndof: int) -> np.ndarray:
+    """Reverse-Cuthill-McKee rank (old dof -> new dof) from cell
+    connectivity — bandwidth reduction for the block-sparse layout."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    a = cell_dofs.shape[1]
+    rows = np.repeat(cell_dofs, a, axis=1).ravel()
+    cols = np.tile(cell_dofs, (1, a)).ravel()
+    A = sp.csr_matrix((np.ones(rows.shape[0], np.int8), (rows, cols)),
+                      shape=(ndof, ndof))
+    perm = reverse_cuthill_mckee(A, symmetric_mode=True)   # new -> old
+    rank = np.empty(ndof, dtype=np.int32)
+    rank[perm] = np.arange(ndof, dtype=np.int32)
+    return rank
+
+
 @dataclasses.dataclass
 class TaylorHood:
     """Mixed P2^d x P1 space (d from the mesh).  ``dim_u = d * n2``,
@@ -136,6 +194,7 @@ class TaylorHood:
     """
     mesh: object            # TriMesh or TetMesh
     align: int = 1
+    reorder: bool = False   # RCM dof relabeling (for block-sparse layouts)
 
     def __post_init__(self):
         self.gdim = self.mesh.vertices.shape[1]
@@ -145,6 +204,11 @@ class TaylorHood:
         else:
             self.V = P2Space3D(self.mesh)
             self.Q = P1Space3D(self.mesh)
+        if self.reorder:
+            self.V = ReorderedSpace(
+                self.V, rcm_rank(self.V.cell_dofs, self.V.dim))
+            self.Q = ReorderedSpace(
+                self.Q, rcm_rank(self.Q.cell_dofs, self.Q.dim))
         a = self.align
         self.n2 = -(-self.V.dim // a) * a      # padded scalar P2 size
         self.n1 = -(-self.Q.dim // a) * a      # padded P1 size

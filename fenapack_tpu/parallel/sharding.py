@@ -83,8 +83,12 @@ class ShardedOseen:
         ells = [const.L, const.Mp, const.Ap, const.M2,
                 *const.D, *const.DT]
         for ell in ells:
-            ell.vals = put_rows(ell.vals)
-            ell.cols = put_rows(ell.cols)
+            if hasattr(ell, "tiles"):           # BlockELL
+                ell.tiles = put_rows(ell.tiles)
+                ell.nbr = put_rows(ell.nbr)
+            else:                               # ELL
+                ell.vals = put_rows(ell.vals)
+                ell.cols = put_rows(ell.cols)
 
         self.vec = rows
         self._step = jax.jit(self._step_impl)

@@ -156,7 +156,8 @@ class PressureHierarchy:
 
     def __init__(self, hier: MeshHierarchy, dtype,
                  pcd_markers: Sequence[int] = (),
-                 fine_n1: Optional[int] = None):
+                 fine_n1: Optional[int] = None,
+                 block_size: Optional[int] = None):
         from ..fem.assemble import NSAssembler     # cycle-free at runtime
         self.hier = hier
         self.dtype = dtype
@@ -164,9 +165,11 @@ class PressureHierarchy:
         self.transfers = []
         self.fine_n1 = fine_n1
         for l, mesh in enumerate(hier.meshes):
-            asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2)
-            Ap = ELL(asm.pat_p1.cols, asm.const.Ap.vals.astype(dtype),
-                     asm.n1)
+            # natural dof ordering: the P1 transfers are parent-vertex
+            # gathers, which assume unrelabeled vertex ids
+            asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2,
+                              block_size=block_size, reorder=False)
+            Ap = asm.const.Ap.with_vals(asm.const.Ap.vals.astype(dtype))
             if pcd_markers:
                 dofs = asm.W.Q.facet_dofs(list(pcd_markers))
                 m = np.zeros(asm.n1)
@@ -304,7 +307,8 @@ class VelocityHierarchy:
     """
 
     def __init__(self, hier: MeshHierarchy, nu: float, dtype,
-                 bc_markers: Sequence[int] = (), fine_asm=None):
+                 bc_markers: Sequence[int] = (), fine_asm=None,
+                 block_size: Optional[int] = None):
         from ..fem.assemble import NSAssembler
         self.hier = hier
         self.nu = nu
@@ -312,12 +316,18 @@ class VelocityHierarchy:
         self.asms = []
         self.masks = []          # scalar-space masks (n2,)
         self.transfers = []
+        if fine_asm is not None and getattr(fine_asm.W, "reorder", False):
+            raise ValueError(
+                "velocity GMG requires natural dof ordering (the P2 "
+                "transfers use the 'P2 dofs == fine vertices' identity); "
+                "build the assembler with reorder=False")
         last = len(hier.meshes) - 1
         for l, mesh in enumerate(hier.meshes):
             if l == last and fine_asm is not None:
                 asm = fine_asm          # the solver's own (maybe padded) asm
             else:
-                asm = NSAssembler(mesh, nu=nu, dtype=dtype, quad_degree=4)
+                asm = NSAssembler(mesh, nu=nu, dtype=dtype, quad_degree=4,
+                                  block_size=block_size, reorder=False)
             self.asms.append(asm)
             m = np.zeros(asm.n2)
             if bc_markers:
@@ -402,7 +412,7 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
             m = vh.masks[l]
             mask_u = jnp.concatenate([m, m])
         free = 1.0 - mask_u
-        A1 = ELL(asm.pat_p2.cols, A1vals, n2)
+        A1 = asm.pat_p2.matrix(A1vals)
 
         def mv(x, A1=A1, R=R, asm=asm, n2=n2, free=free, mask=mask_u):
             xf = free * x
@@ -410,17 +420,17 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
             yx = A1.mv(ux)
             yy = A1.mv(uy)
             if R is not None:
-                yx = yx + ELL(asm.pat_p2.cols, R[0, 0], n2).mv(ux) \
-                        + ELL(asm.pat_p2.cols, R[0, 1], n2).mv(uy)
-                yy = yy + ELL(asm.pat_p2.cols, R[1, 0], n2).mv(ux) \
-                        + ELL(asm.pat_p2.cols, R[1, 1], n2).mv(uy)
+                yx = yx + asm.pat_p2.matrix(R[0, 0]).mv(ux) \
+                        + asm.pat_p2.matrix(R[0, 1]).mv(uy)
+                yy = yy + asm.pat_p2.matrix(R[1, 0]).mv(ux) \
+                        + asm.pat_p2.matrix(R[1, 1]).mv(uy)
             return free * jnp.concatenate([yx, yy]) + mask * x
 
         diag1 = A1.diag_from(asm.pat_p2.diag_pos)
         if R is not None:
-            diag1x = diag1 + ELL(asm.pat_p2.cols, R[0, 0], n2).diag_from(
+            diag1x = diag1 + asm.pat_p2.matrix(R[0, 0]).diag_from(
                 asm.pat_p2.diag_pos)
-            diag1y = diag1 + ELL(asm.pat_p2.cols, R[1, 1], n2).diag_from(
+            diag1y = diag1 + asm.pat_p2.matrix(R[1, 1]).diag_from(
                 asm.pat_p2.diag_pos)
             diag = jnp.concatenate([diag1x, diag1y])
         else:
@@ -440,21 +450,18 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
 
     def coarse_solve_factory():
         A1vals, Rv = level_vals_cache[0]
-        rows = jnp.broadcast_to(jnp.arange(n2_0)[:, None],
-                                asm0.pat_p2.cols.shape)
-        A1 = jnp.zeros((n2_0, n2_0), dtype).at[rows, asm0.pat_p2.cols].add(
-            A1vals)
+        A1 = asm0.pat_p2.to_dense(A1vals)
         Z = jnp.zeros_like(A1)
         A = jnp.block([[A1, Z], [Z, A1]])
         if Rv is not None:
-            blocks = [[jnp.zeros((n2_0, n2_0), dtype).at[
-                rows, asm0.pat_p2.cols].add(Rv[a, b]) for b in range(2)]
-                for a in range(2)]
+            blocks = [[asm0.pat_p2.to_dense(Rv[a, b]) for b in range(2)]
+                      for a in range(2)]
             A = A + jnp.block(blocks)
         free0 = 1.0 - mask0
         A = free0[:, None] * A * free0[None, :] + jnp.diag(mask0)
-        lu, piv = jax.scipy.linalg.lu_factor(A)
-        return lambda b: jax.scipy.linalg.lu_solve((lu, piv), b)
+        # explicit inverse: coarse solve = one MXU matmul per V-cycle
+        Ainv = jnp.linalg.inv(A)
+        return lambda b: Ainv @ b
 
     coarse_solve = coarse_solve_factory()
     return make_vcycle(matvecs, dinvs, vtransfers, coarse_solve, masks_u,

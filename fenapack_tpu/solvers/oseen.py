@@ -94,21 +94,29 @@ class OseenSolver:
         self.has_p_pad = bool(p_pad.any())
         self.p_pad = jnp.asarray(p_pad, dtype=dt) if self.has_p_pad else None
 
-        # constant operators in compute precision (assembler may be f64 for
-        # the IR true-residual path; the Krylov pipeline runs in config dtype)
-        c = asm.const
-        if jnp.dtype(c.L.vals.dtype) != dt:
-            cast = lambda e: ELL(e.cols, e.vals.astype(dt), e.n_cols)
-            from ..fem.assemble import ConstOperators
-            self.const_lo = ConstOperators(
-                L=cast(c.L), Mp=cast(c.Mp), Ap=cast(c.Ap), M2=cast(c.M2),
-                D=tuple(cast(e) for e in c.D),
-                DT=tuple(cast(e) for e in c.DT))
-        else:
-            self.const_lo = c
-
+        self._needs_cast = jnp.dtype(asm.const.L.vals.dtype) != dt
         self._build_subsolves(ap_hierarchy, velocity_hierarchy)
         self._solve_jit = jax.jit(self._solve_impl)
+
+    @property
+    def const_lo(self):
+        """Constant operators in compute precision.
+
+        LAZY cast (on device, per trace): eager casting would materialize a
+        second full set of operator constants, doubling the buffers every
+        jit program embeds — at block-sparse fill ratios that overflows
+        HLO-size limits (and HBM) long before the math does.
+        """
+        c = self.asm.const
+        if not self._needs_cast:
+            return c
+        dt = self.dtype
+        cast = lambda e: e.with_vals(e.vals.astype(dt))
+        from ..fem.assemble import ConstOperators
+        return ConstOperators(
+            L=cast(c.L), Mp=cast(c.Mp), Ap=cast(c.Ap), M2=cast(c.M2),
+            D=tuple(cast(e) for e in c.D),
+            DT=tuple(cast(e) for e in c.DT))
 
     # -------------------------------------------------------------- #
     def _masked_spd_matvec(self, ell: ELL, mask: Optional[jnp.ndarray]):
@@ -122,22 +130,32 @@ class OseenSolver:
         return mv
 
     def _make_spd_solver(self, ell: ELL, pattern, mask, cfg: SubsolveConfig,
-                         hierarchy=None, level_ops=None):
-        """Subsolver for an SPD pressure operator (Ap or Mp)."""
+                         hierarchy=None):
+        """Return a FACTORY for the subsolver of an SPD pressure operator
+        (Ap or Mp).
+
+        Two-phase construction: expensive/eager setup (dense inverses,
+        spectral bound estimation) runs here at __init__; the factory is
+        invoked at *trace time* inside :meth:`_pipeline`, where the
+        compute-precision casts of the big operator arrays are emitted as
+        on-device ops — one cast per solve, hoisted out of the Krylov loop,
+        and no duplicated constant buffers in the program.
+        """
         dt = self.dtype
         if cfg.method == "lu":
             bc = np.zeros(ell.shape[0]) if mask is None else np.asarray(mask)
-            return subsolve.masked_spd_solver_dense(
-                ELL(ell.cols, ell.vals.astype(dt), ell.n_cols), pattern, bc, dt)
+            solve = subsolve.masked_spd_solver_dense(ell, pattern, bc, dt)
+            return lambda: solve
         if cfg.method == "lumped":
             dinv = subsolve.lumped_inverse(ell).astype(dt)
             if mask is None:
-                return lambda r: dinv * r
+                return lambda: (lambda r: dinv * r)
             free = 1.0 - mask
-            return lambda r: free * dinv * r + mask * r
+
+            def factory():
+                return lambda r: free * dinv * r + mask * r
+            return factory
         if cfg.method == "chebyshev":
-            mv = self._masked_spd_matvec(
-                ELL(ell.cols, ell.vals.astype(dt), ell.n_cols), mask)
             diag = ell.diag_from(pattern.diag_pos).astype(dt)
             if mask is not None:
                 diag = jnp.where(mask > 0, 1.0, diag)
@@ -145,12 +163,26 @@ class OseenSolver:
             if cfg.bounds is not None:
                 lmin, lmax = cfg.bounds
             else:
-                lmin, lmax = subsolve.power_bounds(mv, dinv, ell.shape[0],
-                                                  dtype=dt)
-            return subsolve.chebyshev_solver(mv, dinv, lmin, lmax, cfg.iters)
+                # eager, setup-time: temporary cast not retained
+                mv0 = self._masked_spd_matvec(
+                    ell.with_vals(ell.vals.astype(dt)), mask)
+                lmin, lmax = subsolve.power_bounds(mv0, dinv, ell.shape[0],
+                                                   dtype=dt)
+
+            def factory():
+                op = ell.with_vals(ell.vals.astype(dt))   # traced cast
+                mv = self._masked_spd_matvec(op, mask)
+                return subsolve.chebyshev_solver(mv, dinv, lmin, lmax,
+                                                 cfg.iters)
+            return factory
         if cfg.method == "gmg":
+            if getattr(self.asm.W, "reorder", False):
+                raise ValueError(
+                    "pressure GMG requires natural dof ordering "
+                    "(build the assembler with reorder=False)")
             from .gmg import make_gmg_solver
-            return make_gmg_solver(hierarchy, cfg, self.dtype, bc_mask=mask)
+            solve = make_gmg_solver(hierarchy, cfg, self.dtype, bc_mask=mask)
+            return lambda: solve
         raise ValueError(f"unknown subsolve method {cfg.method!r}")
 
     def _union(self, a, b):
@@ -163,27 +195,47 @@ class OseenSolver:
     def _build_subsolves(self, ap_hierarchy, velocity_hierarchy):
         asm, cfg = self.asm, self.config
         c = asm.const
-        nullspace = self.enclosed and not self.has_pcd_bcs
+        self._nullspace = self.enclosed and not self.has_pcd_bcs
         ap_mask = self._union(
             self.pcd_mask if self.has_pcd_bcs else None, self.p_pad)
-        self.ap_solve = self._make_spd_solver(
+        self._ap_factory = self._make_spd_solver(
             c.Ap, asm.pat_p1, ap_mask, cfg.pcd.ap, hierarchy=ap_hierarchy)
-        self.mp_solve = self._make_spd_solver(
+        self._mp_factory = self._make_spd_solver(
             c.Mp, asm.pat_p1, self.p_pad, cfg.pcd.mp)
-        self.pcd_apply = make_pcd_apply(
-            cfg.pcd.variant, self.ap_solve, self.mp_solve,
-            self.pcd_mask, nullspace=nullspace,
-            active=asm.p_active if self.has_p_pad else None,
-            theta=self.theta, inv_dt=self.inv_dt)
         self.velocity_hierarchy = velocity_hierarchy
 
-    # -------------------------------------------------------------- #
-    def _ell_to_dense(self, vals: jnp.ndarray, cols: jnp.ndarray,
-                      n_rows: int, n_cols: int) -> jnp.ndarray:
-        dense = jnp.zeros((n_rows, n_cols), dtype=vals.dtype)
-        rows = jnp.broadcast_to(jnp.arange(n_rows)[:, None], cols.shape)
-        return dense.at[rows, cols].add(vals)
+    def _make_pcd_apply(self):
+        """Build the PCD apply at trace time (see _make_spd_solver)."""
+        asm, cfg = self.asm, self.config
+        ap_solve = self._ap_factory()
+        mp_solve = self._mp_factory()
+        return make_pcd_apply(
+            cfg.pcd.variant, ap_solve, mp_solve,
+            self.pcd_mask, nullspace=self._nullspace,
+            active=asm.p_active if self.has_p_pad else None,
+            theta=self.theta, inv_dt=self.inv_dt)
 
+    # back-compat for tests/white-box callers: fresh closures on access;
+    # assigning pcd_apply overrides the apply used by the pipeline
+    @property
+    def pcd_apply(self):
+        if getattr(self, "_pcd_override", None) is not None:
+            return self._pcd_override
+        return self._make_pcd_apply()
+
+    @pcd_apply.setter
+    def pcd_apply(self, fn):
+        self._pcd_override = fn
+
+    @property
+    def ap_solve(self):
+        return self._ap_factory()
+
+    @property
+    def mp_solve(self):
+        return self._mp_factory()
+
+    # -------------------------------------------------------------- #
     def _velocity_solver(self, A1vals, R, wind=None):
         """Build a_solve(r_u) for the current (traced) velocity operator."""
         asm, cfg = self.asm, self.config
@@ -192,32 +244,34 @@ class OseenSolver:
         method = cfg.velocity.method
         d = self.d
         if method == "lu":
-            # dense masked LU each call (validation scale; exact like MUMPS)
-            A1 = self._ell_to_dense(A1vals, asm.pat_p2.cols, n2, n2)
+            # dense masked exact solve (validation scale; exact like MUMPS).
+            # Explicit inverse: the apply is one MXU matmul per Krylov
+            # iteration instead of sequential triangular backsolves.
+            A1 = asm.pat_p2.to_dense(A1vals)
             Z = jnp.zeros_like(A1)
             A = jnp.block([[A1 if a == b else Z for b in range(d)]
                            for a in range(d)])
             if R is not None:
                 A = A + jnp.concatenate([
                     jnp.concatenate([
-                        self._ell_to_dense(R[a, b], asm.pat_p2.cols, n2, n2)
+                        asm.pat_p2.to_dense(R[a, b])
                         for b in range(d)], axis=1)
                     for a in range(d)], axis=0)
             free = self.free_u
             A = free[:, None] * A * free[None, :] + jnp.diag(self.bc_mask_u)
-            lu, piv = jax.scipy.linalg.lu_factor(A)
-            return lambda r: jax.scipy.linalg.lu_solve((lu, piv), r)
+            Ainv = jnp.linalg.inv(A)
+            return lambda r: Ainv @ r
         if method in ("jacobi", "chebyshev"):
             # matrix-free fixed-sweep smoothers for the velocity block —
             # the large-3D path (BASELINE config 4: batched subsolves, no
             # factorization); used as a weak-but-cheap PC inside FGMRES
             mv = self._velocity_block_mv(A1vals, R)
-            diag1 = ELL(asm.pat_p2.cols, A1vals, n2).diag_from(
+            diag1 = asm.pat_p2.matrix(A1vals).diag_from(
                 asm.pat_p2.diag_pos)
             diag = jnp.concatenate([diag1] * d)
             if R is not None:
                 rdiag = jnp.concatenate([
-                    ELL(asm.pat_p2.cols, R[a, a], n2).diag_from(
+                    asm.pat_p2.matrix(R[a, a]).diag_from(
                         asm.pat_p2.diag_pos) for a in range(d)])
                 diag = diag + rdiag
             diag = jnp.where(self.bc_mask_u > 0, 1.0, diag)
@@ -245,21 +299,21 @@ class OseenSolver:
         raise ValueError(f"unknown velocity method {method!r}")
 
     # -------------------------------------------------------------- #
-    def _operator_values_raw(self, wind):
+    def _operator_values_raw(self, wind, hi: bool = True):
         """theta-scheme effective operator values in the wind's dtype."""
-        A1 = self.asm.picard_matrix_values(wind)
+        A1 = self.asm.picard_matrix_values(wind, hi=hi)
         if self.theta != 1.0 or self.inv_dt != 0.0:
-            A1 = self.theta * A1 + self.inv_dt * self.asm.const.M2.vals.astype(
-                A1.dtype)
+            M2 = (self.asm.const_hi if hi else self.asm.const).M2
+            A1 = self.theta * A1 + self.inv_dt * M2.vals.astype(A1.dtype)
         R = None
         if self.linearization == "newton":
-            R = self.asm.newton_reaction_values(wind)
+            R = self.asm.newton_reaction_values(wind, hi=hi)
             if self.theta != 1.0:
                 R = self.theta * R
         return A1, R
 
     def _operator_values(self, wind):
-        A1vals, R = self._operator_values_raw(wind)
+        A1vals, R = self._operator_values_raw(wind, hi=False)
         return (A1vals.astype(self.dtype),
                 None if R is None else R.astype(self.dtype))
 
@@ -267,7 +321,7 @@ class OseenSolver:
         """Matvec of the (bc-masked) d-component velocity block."""
         asm = self.asm
         n2, d = asm.n2, self.d
-        A1 = ELL(asm.pat_p2.cols, A1vals, n2)
+        A1 = asm.pat_p2.matrix(A1vals)
         free_u, bc_u = self.free_u, self.bc_mask_u
 
         def mv(x):
@@ -277,18 +331,19 @@ class OseenSolver:
             if R is not None:
                 for a in range(d):
                     for b in range(d):
-                        ys[a] = ys[a] + ELL(asm.pat_p2.cols, R[a, b],
-                                            n2).mv(comps[b])
+                        ys[a] = ys[a] + asm.pat_p2.matrix(
+                            R[a, b]).mv(comps[b])
             return free_u * jnp.concatenate(ys) + bc_u * x
         return mv
 
-    def _matvec_factory(self, A1vals, R):
+    def _matvec_factory(self, A1vals, R, hi: bool = False):
         asm = self.asm
         n2, n_u, d = asm.n2, self.n_u, self.d
-        # high-precision values (IR residual path) use the f64 constants;
-        # the compute-precision pipeline uses the cast copies
-        c = asm.const if A1vals.dtype == asm.const.L.vals.dtype else self.const_lo
-        A1 = ELL(asm.pat_p2.cols, A1vals, n2)
+        # high-precision values (IR residual path) use the compact ELL f64
+        # operators; the compute-precision pipeline uses block/cast copies
+        c = asm.const_hi if hi else self.const_lo
+        pat = asm.pat_p2_hi if hi else asm.pat_p2
+        A1 = pat.matrix(A1vals)
         free_u, bc_u = self.free_u, self.bc_mask_u
 
         def matvec(x):
@@ -299,8 +354,8 @@ class OseenSolver:
             if R is not None:
                 for a in range(d):
                     for b in range(d):
-                        ys[a] = ys[a] + ELL(asm.pat_p2.cols, R[a, b],
-                                            n2).mv(comps[b])
+                        ys[a] = ys[a] + pat.matrix(
+                            R[a, b]).mv(comps[b])
             yu = free_u * jnp.concatenate(ys) + bc_u * x[:n_u]
             yp = sum(c.D[a].mv(comps[a]) for a in range(d))
             if self.has_p_pad:
@@ -332,13 +387,14 @@ class OseenSolver:
         A1vals, R = self._operator_values(wind)
         kpvals = self.asm.kp_values(
             wind, surface=(cfg.pcd.variant == "BRM2")).astype(self.dtype)
-        kp = ELL(self.asm.pat_p1.cols, kpvals, self.asm.n1)
+        kp = self.asm.pat_p1.matrix(kpvals)
         matvec = self._matvec_factory(A1vals, R)
         A1pc = A1vals
         if cfg.jpc_supg:
             A1pc = A1vals + self.asm.supg_values(wind).astype(self.dtype)
         a_solve = self._velocity_solver(A1pc, R, wind=wind)
-        schur_solve = lambda r_p: self.pcd_apply(kp, r_p)
+        pcd = self.pcd_apply        # bind ONCE per trace (casts hoist here)
+        schur_solve = lambda r_p: pcd(kp, r_p)
         pc = make_fieldsplit_upper(self.n_u, a_solve, schur_solve,
                                    self._bt_mv, self.free_u)
         return matvec, pc
@@ -359,8 +415,8 @@ class OseenSolver:
 
         def ir(wind, b):
             wind_hi = wind.astype(dt_hi)
-            A1h, Rh = self._operator_values_raw(wind_hi)
-            matvec_hi = self._matvec_factory(A1h, Rh)
+            A1h, Rh = self._operator_values_raw(wind_hi, hi=True)
+            matvec_hi = self._matvec_factory(A1h, Rh, hi=True)
             matvec, pc = self._pipeline(wind.astype(self.dtype))
 
             b_hi = b.astype(dt_hi)
@@ -406,8 +462,8 @@ class OseenSolver:
         """
         dt_hi = jnp.dtype(self.asm.dtype)
         wind_hi = wind.astype(dt_hi)
-        A1vals, R = self._operator_values_raw(wind_hi)
-        matvec_hi = jax.jit(self._matvec_factory(A1vals, R))
+        A1vals, R = self._operator_values_raw(wind_hi, hi=True)
+        matvec_hi = jax.jit(self._matvec_factory(A1vals, R, hi=True))
 
         b_hi = b.astype(dt_hi)
         bnorm = float(jnp.linalg.norm(b_hi))

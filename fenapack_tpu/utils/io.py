@@ -30,9 +30,11 @@ def save_vtk(path: str, asm, w) -> None:
     mesh = asm.mesh
     w = np.asarray(w)
     nv = mesh.num_vertices
-    ux = w[:asm.n2][:nv]
-    uy = w[asm.n2:2 * asm.n2][:nv]
-    p = w[2 * asm.n2:][:asm.n1_real]
+    vdofs = asm.W.V.vertex_dofs()       # reorder-aware vertex dof ids
+    qdofs = asm.W.Q.vertex_dofs()
+    ux = w[:asm.n2][vdofs]
+    uy = w[asm.n2:2 * asm.n2][vdofs]
+    p = w[asm.dim * asm.n2:][qdofs]
     with open(path, "w") as f:
         f.write("# vtk DataFile Version 3.0\nfenapack_tpu\nASCII\n")
         f.write("DATASET UNSTRUCTURED_GRID\n")
