@@ -26,11 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)   # f64 only for IR true residuals
-# persistent compile cache: repeat bench runs skip the 1-10 min XLA compiles
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from fenapack_tpu.jax_setup import setup as _jax_setup
+
+_jax_setup(x64=True)   # f64 only for IR true residuals
 
 import numpy as np
 import jax.numpy as jnp

@@ -42,8 +42,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.dtype in (None, "float64"):
-        jax.config.update("jax_enable_x64", True)
+    from fenapack_tpu.jax_setup import setup as jax_setup
+    jax_setup(x64=args.dtype in (None, "float64"))
     import jax.numpy as jnp
 
     from fenapack_tpu.fem import mesh as meshmod

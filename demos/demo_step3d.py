@@ -28,11 +28,13 @@ def main():
                     default="jacobi")
     ap.add_argument("--velocity-iters", type=int, default=30)
     ap.add_argument("--dtype", default=None)
+    ap.add_argument("--block", type=int, default=32,
+                    help="block-sparse tile size (0 = ELL layout)")
     args = ap.parse_args()
 
     import jax
-    if args.dtype in (None, "float64"):
-        jax.config.update("jax_enable_x64", True)
+    from fenapack_tpu.jax_setup import setup as jax_setup
+    jax_setup(x64=args.dtype in (None, "float64"))
     import jax.numpy as jnp
 
     from fenapack_tpu.fem import mesh3d, mesh as meshmod
@@ -47,7 +49,8 @@ def main():
 
     t0 = time.perf_counter()
     mesh = mesh3d.backward_step_mesh3d(args.level)
-    asm = NSAssembler(mesh, args.nu, dtype=adtype, quad_degree=4)
+    asm = NSAssembler(mesh, args.nu, dtype=adtype, quad_degree=4,
+                      block_size=args.block or None)
 
     def inflow(x):
         v = np.zeros((x.shape[0], 3))
@@ -61,6 +64,8 @@ def main():
             "velocity.method": args.velocity,
             "velocity.iters": args.velocity_iters,
             "krylov.maxiter": 300,
+            # f32 FGMRES stalls near sqrt(eps); keep the linear target there
+            "krylov.rtol": 2e-6 if dtype == "float32" else 1e-8,
             "pcd.ap.method": "chebyshev", "pcd.ap.iters": 25,
             "pcd.mp.method": "chebyshev"}
     if args.velocity == "lu":

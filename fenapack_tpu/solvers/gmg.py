@@ -75,19 +75,42 @@ def build_hierarchy(coarse: TriMesh, levels: int) -> MeshHierarchy:
 # --------------------------------------------------------------------- #
 
 class P1Transfer:
-    """Prolongation/restriction between two P1 levels from parent pairs."""
+    """Prolongation/restriction between two P1 levels from parent pairs.
 
-    def __init__(self, parents: np.ndarray, n_coarse: int, dtype):
+    With ``block_size`` the transfers are materialized as block-sparse
+    matrices (ops.sparse.BlockSparsityPattern): arbitrary gathers/scatters
+    are scalar-slow on TPU, while block-tile SpMV rides the MXU.
+    """
+
+    def __init__(self, parents: np.ndarray, n_coarse: int, dtype,
+                 block_size=None):
         self.pa = jnp.asarray(parents[:, 0].astype(np.int32))
         self.pb = jnp.asarray(parents[:, 1].astype(np.int32))
         self.n_coarse = n_coarse
         self.n_fine = parents.shape[0]
         self.dtype = dtype
+        self._P = self._PT = None
+        if block_size:
+            from ..ops.sparse import BlockSparsityPattern
+            nf = self.n_fine
+            rows = np.arange(nf, dtype=np.int64).repeat(2)
+            cols = parents.astype(np.int64).ravel()
+            vals = jnp.full(2 * nf, 0.5, dtype=dtype)
+            pat = BlockSparsityPattern(rows, cols, nf, n_coarse,
+                                       block=block_size)
+            self._P = pat.assemble(vals)
+            patT = BlockSparsityPattern(cols, rows, n_coarse, nf,
+                                        block=block_size)
+            self._PT = patT.assemble(vals)
 
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
+        if self._P is not None:
+            return self._P.mv(xc)
         return 0.5 * (xc[self.pa] + xc[self.pb])
 
     def restrict(self, rf: jnp.ndarray) -> jnp.ndarray:
+        if self._PT is not None:
+            return self._PT.mv(rf)
         z = jnp.zeros(self.n_coarse, dtype=rf.dtype)
         z = z.at[self.pa].add(0.5 * rf)
         return z.at[self.pb].add(0.5 * rf)
@@ -181,7 +204,7 @@ class PressureHierarchy:
             if l > 0:
                 self.transfers.append(P1Transfer(
                     hier.parents[l - 1], hier.meshes[l - 1].num_vertices,
-                    dtype))
+                    dtype, block_size=block_size))
 
 
 def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
@@ -249,11 +272,13 @@ class P2Transfer:
     cell, precomputed on the host.
     """
 
-    def __init__(self, coarse: TriMesh, fine: TriMesh, dtype):
+    def __init__(self, coarse: TriMesh, fine: TriMesh, dtype,
+                 block_size=None):
         nv_f, ne_f = fine.num_vertices, fine.num_edges
         self.n_coarse = coarse.num_vertices + coarse.num_edges   # == nv_f
         assert self.n_coarse == nv_f, "fine mesh must be refine(coarse)"
         self.n_fine = nv_f + ne_f
+        self._block_size = block_size
 
         # parent coarse cell of each fine cell: refine_uniform emits the 4
         # child blocks contiguously, each of length nc_coarse
@@ -284,11 +309,34 @@ class P2Transfer:
         self.mid_dofs = jnp.asarray(cdofs.astype(np.int32))   # (ne_f, 6)
         self.mid_w = jnp.asarray(phi, dtype=dtype)
 
+        self._P = self._PT = None
+        if self._block_size:
+            # materialize P as block-sparse (TPU: tile SpMV >> gathers):
+            # identity rows for fine vertices + 6-weight rows for midpoints
+            from ..ops.sparse import BlockSparsityPattern
+            nc = self.n_coarse
+            rows = np.concatenate([np.arange(nv_f, dtype=np.int64),
+                                   (nv_f + np.arange(ne_f)).repeat(6)])
+            cols = np.concatenate([np.arange(nv_f, dtype=np.int64),
+                                   cdofs.astype(np.int64).ravel()])
+            vals = jnp.concatenate([jnp.ones(nv_f, dtype),
+                                    jnp.asarray(phi, dtype).ravel()])
+            pat = BlockSparsityPattern(rows, cols, self.n_fine, nc,
+                                       block=self._block_size)
+            self._P = pat.assemble(vals)
+            patT = BlockSparsityPattern(cols, rows, nc, self.n_fine,
+                                        block=self._block_size)
+            self._PT = patT.assemble(vals)
+
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
+        if self._P is not None:
+            return self._P.mv(xc)
         mid = jnp.sum(self.mid_w * xc[self.mid_dofs], axis=1)
         return jnp.concatenate([xc, mid])
 
     def restrict(self, rf: jnp.ndarray) -> jnp.ndarray:
+        if self._PT is not None:
+            return self._PT.mv(rf)
         z = rf[:self.n_coarse]
         upd = self.mid_w * rf[self.n_coarse:, None]
         return z.at[self.mid_dofs].add(upd)
@@ -335,7 +383,8 @@ class VelocityHierarchy:
             self.masks.append(jnp.asarray(m, dtype=dtype))
             if l > 0:
                 self.transfers.append(P2Transfer(hier.meshes[l - 1], mesh,
-                                                 dtype))
+                                                 dtype,
+                                                 block_size=block_size))
 
 
 class _VectorTransfer:

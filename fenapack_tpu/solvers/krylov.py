@@ -93,12 +93,23 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
         h = h.at[k + 1].set(wnorm)
         V = V.at[k + 1].set(w / jnp.where(wnorm > 0, wnorm, 1.0))
 
-        # apply existing rotations (identity for i >= k)
-        def rot(i, hh):
-            hi = cs[i] * hh[i] + sn[i] * hh[i + 1]
-            hip = -sn[i] * hh[i] + cs[i] * hh[i + 1]
-            return hh.at[i].set(hi).at[i + 1].set(hip)
-        h = lax.fori_loop(0, m, rot, h)
+        # apply existing rotations (identity for i >= k).  The sweep
+        #   out_i = c_i a_i + s_i h_{i+1};  a_{i+1} = -s_i a_i + c_i h_{i+1}
+        # is a first-order linear recurrence in the carry a — evaluated in
+        # log depth with an associative scan instead of m sequential steps
+        # (sequential scalar loops cost ~us/step on TPU).
+        alpha = -sn
+        beta = cs * h[1:]
+
+        def comb(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return a2 * a1, a2 * b1 + b2
+
+        A, B = lax.associative_scan(comb, (alpha, beta))
+        a = jnp.concatenate([h[:1], A * h[0] + B])      # a_0 .. a_m
+        out = cs * a[:m] + sn * h[1:]
+        h = jnp.concatenate([out, a[m:m + 1]])
 
         denom = jnp.hypot(h[k], h[k + 1])
         safe = jnp.where(denom > 0, denom, 1.0)

@@ -95,7 +95,7 @@ class NonlinearSolver:
         encl = self.enclosed
         p_active = asm.p_active.astype(dt_hi)
         n_p_real = float(asm.n1_real)
-        ir = self.oseen.make_ir_solve(rtol_lin, max_rounds)
+        ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
 
         @jax.jit
         def step(w):

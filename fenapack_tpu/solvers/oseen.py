@@ -399,7 +399,8 @@ class OseenSolver:
                                    self._bt_mv, self.free_u)
         return matvec, pc
 
-    def make_ir_solve(self, rtol: float = 1e-8, max_rounds: int = 8):
+    def make_ir_solve(self, rtol: float = 1e-8, max_rounds: int = 8,
+                      _jit: bool = True):
         """Return a JITTED ``(wind, b) -> (x, total_iters, true_resnorm)``
         running the whole mixed-precision iterative refinement loop on
         device (``lax.while_loop`` over rounds) — one host round-trip per
@@ -445,7 +446,9 @@ class OseenSolver:
                              jnp.array(0, jnp.int32)))
             return x, total, rn
 
-        return jax.jit(ir)
+        # _jit=False for callers composing ir into a larger jit (nested jit
+        # trips the const-as-argument lowering in this jax version)
+        return jax.jit(ir) if _jit else ir
 
     def solve_ir(self, wind, b, rtol: float = 1e-8, atol: float = 0.0,
                  max_rounds: int = 12):
