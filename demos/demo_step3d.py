@@ -34,7 +34,9 @@ def main():
 
     import jax
     from fenapack_tpu.jax_setup import setup as jax_setup
-    jax_setup(x64=args.dtype in (None, "float64"))
+    # x64 always: assembly/residual run in f64 (compact ELL layout) so the
+    # IR true residuals are trustworthy; --dtype only sets compute precision
+    jax_setup(x64=True)
     import jax.numpy as jnp
 
     from fenapack_tpu.fem import mesh3d, mesh as meshmod
@@ -45,11 +47,10 @@ def main():
 
     dtype = args.dtype or ("float64" if jax.default_backend() == "cpu"
                            else "float32")
-    adtype = jnp.float64 if dtype == "float64" else jnp.float32
 
     t0 = time.perf_counter()
     mesh = mesh3d.backward_step_mesh3d(args.level)
-    asm = NSAssembler(mesh, args.nu, dtype=adtype, quad_degree=4,
+    asm = NSAssembler(mesh, args.nu, dtype=jnp.float64, quad_degree=4,
                       block_size=args.block or None)
 
     def inflow(x):
@@ -79,9 +80,14 @@ def main():
     print(f"3D step l={args.level}  nu={args.nu}  cells {mesh.num_cells}  "
           f"dofs {ndof}  setup {time.perf_counter() - t0:.1f}s")
 
-    res = solver.solve(rtol=args.rtol, verbose=True, max_steps=20)
+    # fused driver: one device call per step, true-residual IR restarts
+    res = solver.solve_fused(rtol=args.rtol, verbose=True, max_steps=20,
+                             rtol_lin=max(args.rtol * 1e-2, 1e-8))
     print(f"converged: {res.converged}  iters/step: {res.linear_iters}")
-    print(f"wall: {res.wall_time:.2f} s")
+    ndof_s = 3 * asm.n2_real + asm.n1_real
+    per_step = res.wall_time / max(len(res.linear_iters), 1)
+    print(f"wall: {res.wall_time:.2f} s  ({per_step:.2f} s/step, "
+          f"{ndof_s / per_step / 1e6:.2f} Mdof/s nonlinear-step throughput)")
 
 
 if __name__ == "__main__":

@@ -150,8 +150,11 @@ class NSAssembler:
         cd2 = W.V.cell_dofs.astype(np.int32)          # (nc, nb2)
         cd1 = W.Q.cell_dofs.astype(np.int32)          # (nc, nb1)
 
-        # physical gradients (g2: (nc,nq,nb2,d); g1: (nc,nb1,d) const rows)
-        g2 = np.einsum("qik,ckd->cqid", dphi2, Jinv)
+        # physical P1 gradients (g1: (nc,nb1,d), const rows — small); the P2
+        # gradient table g2 (nc,nq,nb2,d) is NOT stored: it is the largest
+        # array in the problem (GBs at 3D scale) and is recomputed on the
+        # fly from Jinv (nc,d,d) inside each assembly einsum — XLA fuses the
+        # contraction, trading negligible FLOPs for memory/constant size.
         g1 = np.einsum("ik,ckd->cid", dphi1[0], Jinv)
 
         # cell-batch alignment padding: zero-measure phantom cells so the
@@ -162,7 +165,8 @@ class NSAssembler:
         self.nc_real = nc
         nc_pad = -(-nc // row_align) * row_align - nc
         if nc_pad:
-            g2 = np.concatenate([g2, np.zeros((nc_pad,) + g2.shape[1:])])
+            # phantom Jinv = 0: gradients vanish, weights are 0 anyway
+            Jinv = np.concatenate([Jinv, np.zeros((nc_pad, d, d))])
             g1 = np.concatenate([g1, np.zeros((nc_pad,) + g1.shape[1:])])
             adet = np.concatenate([adet, np.zeros(nc_pad)])
         self.nc = nc + nc_pad
@@ -173,7 +177,8 @@ class NSAssembler:
         e = np.linalg.norm(v - np.roll(v, 1, axis=1), axis=2).max(axis=1)
         self.h_cell = jnp.asarray(np.concatenate([e, np.zeros(nc_pad)]),
                                   dtype=dtype)
-        self.g2 = jnp.asarray(g2, dtype=dtype)
+        self.Jinv = jnp.asarray(Jinv, dtype=dtype)       # (nc, d, d) padded
+        self.dphi2 = jnp.asarray(dphi2, dtype=dtype)     # (nq, nb2, d)
         self.g1 = jnp.asarray(g1, dtype=dtype)
         self.adet = jnp.asarray(adet, dtype=dtype)
         self.qw = jnp.asarray(qw, dtype=dtype)
@@ -213,12 +218,14 @@ class NSAssembler:
 
         # --- constant operators -------------------------------------------
         if bs:
-            # compute-precision block constants (f32) + hi-precision ELL
+            # compute-precision block constants (f32) + hi-precision ELL.
+            # M2 (unsteady mass) is kept ELL-only: block fill would double
+            # the largest constant and it sits off the steady hot path.
             c64 = self._assemble_constant(hi=False)
             cast = lambda e: e.with_vals(e.vals.astype(jnp.float32))
             self.const = ConstOperators(
                 L=cast(c64.L), Mp=cast(c64.Mp), Ap=cast(c64.Ap),
-                M2=cast(c64.M2), D=tuple(cast(e) for e in c64.D),
+                M2=None, D=tuple(cast(e) for e in c64.D),
                 DT=tuple(cast(e) for e in c64.DT))
             del c64
             self.const_hi = self._assemble_constant(hi=True)
@@ -293,6 +300,12 @@ class NSAssembler:
         self.kp_surf_pos = self.pat_p1.entry_positions(f_cd1, f_cd1)
 
     # ------------------------------------------------------------------ #
+    @property
+    def g2(self):
+        """Physical P2 gradients (nc,nq,nb2,d), recomputed from Jinv on the
+        fly (see __init__ note — not stored)."""
+        return jnp.einsum("qik,ckd->cqid", self.dphi2, self.Jinv)
+
     def _pats(self, hi: bool):
         if hi:
             return (self.pat_p2_hi, self.pat_p1_hi, self.pat_div_hi,
@@ -334,6 +347,11 @@ class NSAssembler:
     def wind_at_quad(self, u: jnp.ndarray) -> jnp.ndarray:
         """Velocity (stacked (d*n2,)) evaluated at cell quad points (nc,nq,d)."""
         return jnp.einsum("qi,cid->cqd", self.phi2, self.u_cell(u))
+
+    def mass2_values(self, hi: bool = False) -> jnp.ndarray:
+        """Scalar P2 mass values (for layouts where const.M2 is not kept)."""
+        elem = jnp.einsum("cq,qi,qj->cij", self.wdet, self.phi2, self.phi2)
+        return self._pats(hi)[0].assemble_values(elem)
 
     def convection_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
         """Scalar convection N(w) values: N[i,j] = int (w.grad phi_j) phi_i."""

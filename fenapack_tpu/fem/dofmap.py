@@ -205,10 +205,17 @@ class TaylorHood:
             self.V = P2Space3D(self.mesh)
             self.Q = P1Space3D(self.mesh)
         if self.reorder:
-            self.V = ReorderedSpace(
-                self.V, rcm_rank(self.V.cell_dofs, self.V.dim))
-            self.Q = ReorderedSpace(
-                self.Q, rcm_rank(self.Q.cell_dofs, self.Q.dim))
+            v_rank = rcm_rank(self.V.cell_dofs, self.V.dim)
+            self.V = ReorderedSpace(self.V, v_rank)
+            # pressure ordering INDUCED by the velocity ordering through the
+            # shared vertices (P2 dofs 0..nv-1 are the vertices): mixed
+            # blocks (divergence/gradient) then couple spatially-near block
+            # rows to spatially-near block columns — independently RCM'd
+            # spaces have uncorrelated block structure (measured m ~ 100
+            # neighbor blocks on 3D meshes vs ~10 aligned)
+            nv = self.mesh.vertices.shape[0]
+            q_rank = np.argsort(np.argsort(v_rank[:nv])).astype(np.int32)
+            self.Q = ReorderedSpace(self.Q, q_rank)
         a = self.align
         self.n2 = -(-self.V.dim // a) * a      # padded scalar P2 size
         self.n1 = -(-self.Q.dim // a) * a      # padded P1 size

@@ -118,10 +118,12 @@ def dense_lu_solver(A_dense: jnp.ndarray) -> Callable:
     (~cond(A)*eps vs the backward-stable backsolve) is immaterial: FGMRES
     corrects it.  The inverse costs ~2x an LU factorization, paid once.
     """
-    Ainv = jnp.linalg.inv(A_dense)
+    from ..runtime import Holder
+    h = Holder(Ainv=jnp.linalg.inv(A_dense))
 
     def solve(b):
-        return Ainv @ b
+        return h.Ainv @ b
+    solve._holder = h        # reachable for lift_jit via the owning solver
     return solve
 
 
@@ -130,7 +132,6 @@ def masked_spd_solver_dense(ell: ELL, pattern, bc_mask: np.ndarray,
     """Dense LU of the symmetric bc-eliminated operator
     ``free A free + I_bc`` (validation path; exact like the reference's LU).
     """
-    import scipy.sparse as sp
     A = pattern.to_scipy(ell).toarray()
     free = 1.0 - np.asarray(bc_mask)
     A = free[:, None] * A * free[None, :] + np.diag(np.asarray(bc_mask))

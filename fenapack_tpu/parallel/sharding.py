@@ -68,10 +68,10 @@ class ShardedOseen:
             return jax.device_put(x, rows)
 
         # per-cell batches (cells axis leads)
-        for name in ("g2", "g1", "adet", "wdet", "cd2", "cd1"):
+        for name in ("Jinv", "g1", "adet", "wdet", "cd2", "cd1"):
             setattr(asm, name, put_rows(getattr(asm, name)))
         # small tables + facet batches (boundary ~ sqrt(interior)): replicate
-        repl_names = ["qw", "phi2", "phi1"]
+        repl_names = ["qw", "phi2", "phi1", "dphi2"]
         if getattr(asm, "n_inflow_facets", 0):
             repl_names += ["f_phi2", "f_phi1", "f_wlen", "f_normals",
                            "f_cd2", "f_cd1"]

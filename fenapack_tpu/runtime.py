@@ -1,0 +1,107 @@
+"""lift_jit: jit with solver-state arrays passed as ARGUMENTS.
+
+Problem (measured on the TPU remote-compile path): jax inlines every
+closed-over array into the serialized program as a literal — FEM operator
+state (block tiles, index maps, geometry batches) reaches hundreds of MB and
+overflows compile-request limits (HTTP 413) long before HBM does.  Splat
+arrays (e.g. ``np.ones``) serialize compactly, which masks the issue in toy
+probes.
+
+Fix: :func:`lift_jit` walks the solver object graph (assembler, patterns,
+constant operators, hierarchies, transfers), collects every device array
+above a size threshold as a (holder, attribute) site, and wraps the function
+so those arrays are passed as jit ARGUMENTS: during tracing the attributes
+are temporarily swapped for the incoming tracers, so all existing
+attribute-based code paths (closures over ``self.asm`` etc.) transparently
+become argument-based.  The arrays are restored after tracing; repeated
+calls re-collect the same (identical) arrays and hit the jit cache.
+
+This is the moral equivalent of making the whole solver an equinox-style
+pytree module, without rewriting every closure.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, List, Sequence, Tuple
+
+import numpy as np
+import jax
+
+
+LIFT_THRESHOLD_BYTES = 1 << 18      # 256 KB — smaller consts inline fine
+
+
+class Holder:
+    """Attribute bag for arrays captured by closures (e.g. precomputed dense
+    inverses): registering the holder on a solver attribute makes its arrays
+    reachable by :func:`collect_sites` and hence liftable."""
+
+    def __init__(self, **arrays):
+        self.__dict__.update(arrays)
+
+
+def _is_big_array(v) -> bool:
+    return (isinstance(v, jax.Array)
+            and v.size * v.dtype.itemsize >= LIFT_THRESHOLD_BYTES)
+
+
+def _should_recurse(v) -> bool:
+    mod = type(v).__module__ or ""
+    return mod.startswith("fenapack_tpu") and hasattr(v, "__dict__")
+
+
+def collect_sites(roots: Sequence[Any]) -> List[Tuple[Any, str]]:
+    """(holder, attr) pairs of every big device array reachable from
+    ``roots`` through fenapack_tpu objects / tuples / lists / dicts."""
+    sites: List[Tuple[Any, str]] = []
+    seen = set()
+    stack = list(roots)
+    while stack:
+        o = stack.pop()
+        if o is None or id(o) in seen:
+            continue
+        seen.add(id(o))
+        if isinstance(o, (tuple, list)):
+            stack.extend(o)
+            continue
+        if isinstance(o, dict):
+            stack.extend(o.values())
+            continue
+        if not hasattr(o, "__dict__"):
+            continue
+        for name, v in list(vars(o).items()):
+            if _is_big_array(v):
+                sites.append((o, name))
+            elif isinstance(v, (tuple, list, dict)) or _should_recurse(v):
+                stack.append(v)
+    return sites
+
+
+def lift_jit(f: Callable, roots: Sequence[Any],
+             static_argnums=()) -> Callable:
+    """jit ``f`` with all big solver-state arrays lifted to arguments.
+
+    ``f`` may read the arrays through any attribute path reachable from
+    ``roots``; it must not retain references to them across calls.
+    """
+    sites = collect_sites(roots)
+
+    def wrapped(leaves, *args):
+        olds = [getattr(o, n) for o, n in sites]
+        for (o, n), v in zip(sites, leaves):
+            object.__setattr__(o, n, v)
+        try:
+            return f(*args)
+        finally:
+            for (o, n), v in zip(sites, olds):
+                object.__setattr__(o, n, v)
+
+    jf = jax.jit(wrapped, static_argnums=tuple(
+        i + 1 for i in static_argnums) if static_argnums else ())
+
+    def call(*args):
+        leaves = [getattr(o, n) for o, n in sites]
+        return jf(leaves, *args)
+
+    call.lifted_sites = sites           # introspection/debugging
+    call.__wrapped__ = f
+    return call

@@ -65,7 +65,6 @@ class NonlinearSolver:
         p_active = asm.p_active.astype(dt)
         n_p_active = float(asm.n1_real)
 
-        @jax.jit
         def residual(w):
             u, p = w[:n_u], w[n_u:]
             ru, rp = asm.residual(u, p)
@@ -75,7 +74,8 @@ class NonlinearSolver:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_active) * p_active
             return jnp.concatenate([ru, rp])
 
-        self._residual = residual
+        from ..runtime import lift_jit
+        self._residual = lift_jit(residual, self.oseen._lift_roots)
 
     def make_step_ir(self, rtol_lin: float = 1e-8, max_rounds: int = 8):
         """Fully fused nonlinear step for the TPU production path: ONE jitted
@@ -97,7 +97,6 @@ class NonlinearSolver:
         n_p_real = float(asm.n1_real)
         ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
 
-        @jax.jit
         def step(w):
             u, p = w[:n_u], w[n_u:]
             ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi))
@@ -109,11 +108,48 @@ class NonlinearSolver:
             x, iters, rn_lin = ir(w[:n_u], -F)
             return w + x, rn_nl, iters, rn_lin
 
-        return step
+        from ..runtime import lift_jit
+        return lift_jit(step, self.oseen._lift_roots)
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.n, dtype=self.oseen.dtype)
         return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
+
+    def solve_fused(self, w0: Optional[jnp.ndarray] = None, *,
+                    rtol: float = 1e-5, rtol_lin: float = 1e-8,
+                    max_steps: int = 25, verbose: bool = False
+                    ) -> NonlinearResult:
+        """Production driver: one device call per nonlinear step
+        (:meth:`make_step_ir` — residual + IR linear solve + update fused).
+
+        True-residual IR restarts also repair f32 FGMRES estimate drift, so
+        this path converges where the plain f32 loop stagnates.
+        """
+        t0 = time.perf_counter()
+        step = self.make_step_ir(rtol_lin=rtol_lin)
+        dt_hi = jnp.dtype(self.asm.dtype)
+        w = (self.initial_state() if w0 is None else w0).astype(dt_hi)
+        res_hist: List[float] = []
+        it_hist: List[int] = []
+        r0 = None
+        converged = False
+        for k in range(max_steps):
+            w_new, rn, iters, _ = step(w)
+            rn = float(rn)
+            res_hist.append(rn)
+            if r0 is None:
+                r0 = rn if rn > 0 else 1.0
+            if verbose:
+                print(f"  nonlinear step {k:2d}: |F| = {rn:.3e}")
+            if rn <= max(rtol * r0, 1e-300):
+                converged = True
+                break
+            it_hist.append(int(iters))
+            w = w_new
+        return NonlinearResult(w=w, nonlinear_res=res_hist,
+                               linear_iters=it_hist, linear_resnorms=[],
+                               converged=converged,
+                               wall_time=time.perf_counter() - t0)
 
     def solve(self, w0: Optional[jnp.ndarray] = None, *, rtol: float = 1e-5,
               atol: float = 1e-12, max_steps: int = 25,

@@ -95,8 +95,13 @@ class OseenSolver:
         self.p_pad = jnp.asarray(p_pad, dtype=dt) if self.has_p_pad else None
 
         self._needs_cast = jnp.dtype(asm.const.L.vals.dtype) != dt
+        self._lift_refs = []    # closure-held Holders (dense inverses etc.)
         self._build_subsolves(ap_hierarchy, velocity_hierarchy)
-        self._solve_jit = jax.jit(self._solve_impl)
+        # lift_jit: operator/geometry arrays become jit ARGUMENTS — inlined
+        # literals overflow the TPU compile-request limit at ~100k dofs
+        from ..runtime import lift_jit
+        self._lift_roots = (self, asm, ap_hierarchy, velocity_hierarchy)
+        self._solve_jit = lift_jit(self._solve_impl, self._lift_roots)
 
     @property
     def const_lo(self):
@@ -111,7 +116,7 @@ class OseenSolver:
         if not self._needs_cast:
             return c
         dt = self.dtype
-        cast = lambda e: e.with_vals(e.vals.astype(dt))
+        cast = lambda e: None if e is None else e.with_vals(e.vals.astype(dt))
         from ..fem.assemble import ConstOperators
         return ConstOperators(
             L=cast(c.L), Mp=cast(c.Mp), Ap=cast(c.Ap), M2=cast(c.M2),
@@ -145,6 +150,7 @@ class OseenSolver:
         if cfg.method == "lu":
             bc = np.zeros(ell.shape[0]) if mask is None else np.asarray(mask)
             solve = subsolve.masked_spd_solver_dense(ell, pattern, bc, dt)
+            self._lift_refs.append(solve._holder)
             return lambda: solve
         if cfg.method == "lumped":
             dinv = subsolve.lumped_inverse(ell).astype(dt)
@@ -304,7 +310,9 @@ class OseenSolver:
         A1 = self.asm.picard_matrix_values(wind, hi=hi)
         if self.theta != 1.0 or self.inv_dt != 0.0:
             M2 = (self.asm.const_hi if hi else self.asm.const).M2
-            A1 = self.theta * A1 + self.inv_dt * M2.vals.astype(A1.dtype)
+            M2vals = (M2.vals if M2 is not None
+                      else self.asm.mass2_values(hi=hi))
+            A1 = self.theta * A1 + self.inv_dt * M2vals.astype(A1.dtype)
         R = None
         if self.linearization == "newton":
             R = self.asm.newton_reaction_values(wind, hi=hi)
@@ -434,9 +442,13 @@ class OseenSolver:
             def body(c):
                 k, x, r, rn, total = c
                 scale = jnp.where(rn > 0, rn, 1.0)
+                # adaptive inner tolerance: only the reduction still needed
+                # (floored at the f32-attainable cfg tolerance) — the final
+                # round stops early instead of over-solving
+                rtol_k = jnp.clip(tol / scale, cfg.krylov.rtol, 0.5)
                 res = fgmres(matvec, pc, (r / scale).astype(self.dtype),
                              maxiter=cfg.krylov.maxiter,
-                             rtol=cfg.krylov.rtol)
+                             rtol=rtol_k.astype(self.dtype))
                 x = x + scale * res.x.astype(dt_hi)
                 r = b_hi - matvec_hi(x)
                 return (k + 1, x, r, jnp.linalg.norm(r), total + res.iters)
@@ -446,9 +458,11 @@ class OseenSolver:
                              jnp.array(0, jnp.int32)))
             return x, total, rn
 
-        # _jit=False for callers composing ir into a larger jit (nested jit
-        # trips the const-as-argument lowering in this jax version)
-        return jax.jit(ir) if _jit else ir
+        # _jit=False for callers composing ir into a larger lifted jit
+        if not _jit:
+            return ir
+        from ..runtime import lift_jit
+        return lift_jit(ir, self._lift_roots)
 
     def solve_ir(self, wind, b, rtol: float = 1e-8, atol: float = 0.0,
                  max_rounds: int = 12):

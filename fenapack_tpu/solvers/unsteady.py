@@ -74,14 +74,15 @@ class UnsteadySolver:
 
         d = asm.dim
 
-        @jax.jit
         def residual(w, u_old):
             """theta-scheme residual at state w given previous velocity."""
             u, p = w[:n_u], w[n_u:]
-            c = self.oseen.const_lo
+            # mass matrix from the hi set (always present; ELL in block mode)
+            M2h = asm.const_hi.M2
+            M2 = M2h.with_vals(M2h.vals.astype(dtc))
             du = (u - u_old).astype(dtc)
             mass = jnp.concatenate(
-                [c.M2.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) * idt
+                [M2.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) * idt
             ru_new, rp = asm.residual(u, p)          # C(u)u + B^T p ; B u
             ru_old, _ = asm.residual(u_old, jnp.zeros_like(p))
             ru = (mass + th * ru_new.astype(dtc)
@@ -92,7 +93,8 @@ class UnsteadySolver:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
             return jnp.concatenate([ru, rp])
 
-        self._residual = residual
+        from ..runtime import lift_jit
+        self._residual = lift_jit(residual, self.oseen._lift_roots)
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.oseen.n, dtype=self.oseen.dtype)
