@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--block", type=int, default=32,
                     help="block-sparse tile size (0 = ELL layout)")
+    ap.add_argument("--maxiter", type=int, default=300,
+                    help="Krylov dimension (V+Z basis = 2*maxiter*n floats; "
+                         "shrink at large n — IR restarts compensate)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +54,8 @@ def main():
     t0 = time.perf_counter()
     mesh = mesh3d.backward_step_mesh3d(args.level)
     asm = NSAssembler(mesh, args.nu, dtype=jnp.float64, quad_degree=4,
-                      block_size=args.block or None)
+                      block_size=args.block or None,
+                      block_dtype=jnp.float32 if dtype == "float32" else None)
 
     def inflow(x):
         v = np.zeros((x.shape[0], 3))
@@ -64,7 +68,7 @@ def main():
     over = {"pcd.variant": args.pcd, "dtype": dtype,
             "velocity.method": args.velocity,
             "velocity.iters": args.velocity_iters,
-            "krylov.maxiter": 300,
+            "krylov.maxiter": args.maxiter,
             # f32 FGMRES stalls near sqrt(eps); keep the linear target there
             "krylov.rtol": 2e-6 if dtype == "float32" else 1e-8,
             "pcd.ap.method": "chebyshev", "pcd.ap.iters": 25,
@@ -82,7 +86,8 @@ def main():
 
     # fused driver: one device call per step, true-residual IR restarts
     res = solver.solve_fused(rtol=args.rtol, verbose=True, max_steps=20,
-                             rtol_lin=max(args.rtol * 1e-2, 1e-8))
+                             rtol_lin=max(args.rtol * 1e-2, 1e-8),
+                             split_programs=(args.level >= 3))
     print(f"converged: {res.converged}  iters/step: {res.linear_iters}")
     ndof_s = 3 * asm.n2_real + asm.n1_real
     per_step = res.wall_time / max(len(res.linear_iters), 1)

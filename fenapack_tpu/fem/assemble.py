@@ -96,7 +96,7 @@ class NSAssembler:
     def __init__(self, mesh, nu: float, dtype=jnp.float64,
                  quad_degree: int = 5, inflow_marker: int = INFLOW,
                  row_align: int = 1, block_size: Optional[int] = None,
-                 reorder: Optional[bool] = None):
+                 reorder: Optional[bool] = None, block_dtype=None):
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
@@ -218,17 +218,19 @@ class NSAssembler:
 
         # --- constant operators -------------------------------------------
         if bs:
-            # compute-precision block constants (f32) + hi-precision ELL.
-            # M2 (unsteady mass) is kept ELL-only: block fill would double
-            # the largest constant and it sits off the steady hot path.
-            c64 = self._assemble_constant(hi=False)
-            cast = lambda e: e.with_vals(e.vals.astype(jnp.float32))
-            self.const = ConstOperators(
-                L=cast(c64.L), Mp=cast(c64.Mp), Ap=cast(c64.Ap),
-                M2=None, D=tuple(cast(e) for e in c64.D),
-                DT=tuple(cast(e) for e in c64.DT))
-            del c64
+            # compute-precision block constants (f32, cast op-by-op so the
+            # f64 temporaries never coexist — they peak over HBM at 3D
+            # scale) + hi-precision ELL.  M2 (unsteady mass) is kept
+            # ELL-only: block fill would double the largest constant and it
+            # sits off the steady hot path.
+            # block_dtype=float32 (set by the TPU production entry points)
+            # assembles the compute constants natively in f32 — f64 block
+            # tiles exhaust HBM at 3D scale; None keeps assembler precision
+            # (exact parity with the ELL layout, used by the CPU test suite)
             self.const_hi = self._assemble_constant(hi=True)
+            self.const = self._assemble_constant(hi=False,
+                                                 out_dtype=block_dtype,
+                                                 skip_m2=True)
         else:
             self.const = self._assemble_constant()
             self.const_hi = self.const
@@ -303,7 +305,8 @@ class NSAssembler:
     @property
     def g2(self):
         """Physical P2 gradients (nc,nq,nb2,d), recomputed from Jinv on the
-        fly (see __init__ note — not stored)."""
+        fly (see __init__ note — not stored).  Prefer the factored einsums
+        below — materializing g2 costs (nc*nq*nb2*d) memory."""
         return jnp.einsum("qik,ckd->cqid", self.dphi2, self.Jinv)
 
     def _pats(self, hi: bool):
@@ -312,25 +315,58 @@ class NSAssembler:
                     self.pat_divT_hi)
         return (self.pat_p2, self.pat_p1, self.pat_div, self.pat_divT)
 
-    def _assemble_constant(self, hi: bool = False) -> ConstOperators:
-        w, g2, g1 = self.wdet, self.g2, self.g1
-        phi2, phi1 = self.phi2, self.phi1
+    def _assemble_constant(self, hi: bool = False, out_dtype=None,
+                           skip_m2: bool = False) -> ConstOperators:
+        """Constant operators via FACTORED element integrals.
+
+        The affine-element structure separates ``wdet = adet (x) qw`` and
+        ``grad = dphi . Jinv``: every integral reduces to a tiny
+        reference-cell tensor (contracted over quadrature once) composed
+        with per-cell metric tensors of size O(nc * d * d) — no
+        (nc, nq, nb2, ...) intermediates, which OOM at 3D scale.
+        """
+        g1 = self.g1
+        phi1, dphi2, Jinv = self.phi1, self.dphi2, self.Jinv
+        adet, qw = self.adet, self.qw
+        if out_dtype is not None:
+            # assemble natively in the output precision: these operators
+            # only feed the compute pipeline, and wide temporaries at 3D
+            # scale would exhaust HBM
+            g1, phi1 = g1.astype(out_dtype), phi1.astype(out_dtype)
+            dphi2, Jinv = dphi2.astype(out_dtype), Jinv.astype(out_dtype)
+            adet, qw = adet.astype(out_dtype), qw.astype(out_dtype)
         p2, p1, pdiv, pdivT = self._pats(hi)
 
-        visc = jnp.einsum("cq,cqid,cqjd->cij", w, g2, g2)
-        mass_p2 = jnp.einsum("cq,qi,qj->cij", w, phi2, phi2)
-        mass_p1 = jnp.einsum("cq,ql,qm->clm", w, phi1, phi1) / self.nu
-        stiff_p1 = jnp.einsum("c,cld,cmd->clm", jnp.sum(w, axis=1), g1, g1)
-        # divergence blocks: D_a[l,j] = -int psi_l d_a phi_j
-        div = [-jnp.einsum("cq,ql,cqj->clj", w, phi1, g2[..., a])
-               for a in range(self.dim)]
+        # viscous: adet_c * M_ckl * T_klij ;  M = Jinv Jinv^T (metric),
+        # T_klij = sum_q qw dphi_qik dphi_qjl   (reference tensor)
+        M = jnp.einsum("ckd,cld->ckl", Jinv, Jinv)
+        T = jnp.einsum("q,qik,qjl->klij", qw, dphi2, dphi2)
+        visc = jnp.einsum("c,ckl,klij->cij", adet, M, T)
 
-        L = p2.assemble(visc)
-        D = tuple(pdiv.assemble(da) for da in div)
-        DT = tuple(pdivT.assemble(jnp.swapaxes(da, 1, 2)) for da in div)
-        Mp = p1.assemble(mass_p1)
-        Ap = p1.assemble(stiff_p1)
-        M2 = p2.assemble(mass_p2)
+        # masses: adet_c * (sum_q qw phi phi)
+        if not skip_m2:
+            phi2c = self.phi2.astype(qw.dtype)
+            mref2 = jnp.einsum("q,qi,qj->ij", qw, phi2c, phi2c)
+            mass_p2 = adet[:, None, None] * mref2[None]
+        mref1 = jnp.einsum("q,ql,qm->lm", qw, phi1, phi1)
+        mass_p1 = adet[:, None, None] * mref1[None] / self.nu
+
+        stiff_p1 = jnp.einsum("c,cld,cmd->clm", adet * jnp.sum(qw), g1, g1)
+
+        # divergence: D_a[l,j] = -adet_c * (sum_q qw phi1_ql dphi_qjk) Jinv_cka
+        R = jnp.einsum("q,ql,qjk->ljk", qw, phi1, dphi2)
+        div_all = -jnp.einsum("c,ljk,cka->clja", adet, R, Jinv)
+        div = [div_all[..., a] for a in range(self.dim)]
+
+        def asm_op(pat, elem):
+            return pat.matrix(pat.assemble_values(elem))
+
+        L = asm_op(p2, visc)
+        D = tuple(asm_op(pdiv, da) for da in div)
+        DT = tuple(asm_op(pdivT, jnp.swapaxes(da, 1, 2)) for da in div)
+        Mp = asm_op(p1, mass_p1)
+        Ap = asm_op(p1, stiff_p1)
+        M2 = None if skip_m2 else asm_op(p2, mass_p2)
         return ConstOperators(L=L, Mp=Mp, Ap=Ap, M2=M2, D=D, DT=DT)
 
     # ------------------------------------------------------------------ #
@@ -350,14 +386,19 @@ class NSAssembler:
 
     def mass2_values(self, hi: bool = False) -> jnp.ndarray:
         """Scalar P2 mass values (for layouts where const.M2 is not kept)."""
-        elem = jnp.einsum("cq,qi,qj->cij", self.wdet, self.phi2, self.phi2)
+        mref = jnp.einsum("q,qi,qj->ij", self.qw, self.phi2, self.phi2)
+        elem = self.adet[:, None, None] * mref[None]
         return self._pats(hi)[0].assemble_values(elem)
 
     def convection_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
-        """Scalar convection N(w) values: N[i,j] = int (w.grad phi_j) phi_i."""
+        """Scalar convection N(w) values: N[i,j] = int (w.grad phi_j) phi_i.
+
+        Factored through Jinv (intermediates O(nc*nq*d), see
+        _assemble_constant): s = (wdet*uq).Jinv, B = phi (x) dphi."""
         uq = self.wind_at_quad(u)
-        elem = jnp.einsum("cq,qi,cqd,cqjd->cij", self.wdet, self.phi2,
-                          uq, self.g2)
+        t = jnp.einsum("cq,cqd,ckd->cqk", self.wdet, uq, self.Jinv)
+        B = jnp.einsum("qi,qjk->qijk", self.phi2, self.dphi2)
+        elem = jnp.einsum("cqk,qijk->cij", t, B)
         return self._pats(hi)[0].assemble_values(elem)
 
     def newton_reaction_values(self, u: jnp.ndarray,
@@ -365,9 +406,11 @@ class NSAssembler:
         """(d,d,*value_shape) values of R_ab[i,j] = int phi_j (d_b u_a) phi_i."""
         d = self.dim
         pat = self._pats(hi)[0]
-        gradu = jnp.einsum("cqib,cia->cqab", self.g2, self.u_cell(u))
-        elem = jnp.einsum("cq,qi,qj,cqab->abcij", self.wdet, self.phi2,
-                          self.phi2, gradu)          # (d,d,nc,nb2,nb2)
+        # gradu (nc,nq,d,d): small; factored as (u_cell . dphi) . Jinv
+        U = jnp.einsum("cia,qik->cqak", self.u_cell(u), self.dphi2)
+        gradu = jnp.einsum("cqak,ckb->cqab", U, self.Jinv)
+        P = jnp.einsum("qi,qj->qij", self.phi2, self.phi2)
+        elem = jnp.einsum("cq,cqab,qij->abcij", self.wdet, gradu, P)
         flat = elem.reshape(d * d, -1)
         vals = jax.vmap(pat.assemble_values)(flat)
         return vals.reshape((d, d) + pat.value_shape)
@@ -376,8 +419,9 @@ class NSAssembler:
         """Pressure convection Kp = (1/nu) int (w.grad p) q dx
         [+ BRM2 inflow surface term when ``surface``]."""
         uq = self.wind_at_quad(u)
-        elem = jnp.einsum("cq,ql,cqd,cmd->clm", self.wdet, self.phi1,
-                          uq, self.g1) / self.nu
+        v = jnp.einsum("cqd,cmd->cqm", uq, self.g1)        # (nc,nq,nb1)
+        elem = jnp.einsum("cq,ql,cqm->clm", self.wdet, self.phi1,
+                          v) / self.nu
         vals = self.pat_p1.assemble_values(elem)
         if surface and self.n_inflow_facets:
             comps = self.split_u(u)
@@ -410,7 +454,8 @@ class NSAssembler:
         pe = safe_u * h / (2.0 * self.nu)
         delta = jnp.where(pe > 1.0, h / (2.0 * safe_u) * (1.0 - 1.0 / pe),
                           0.0)
-        wg = jnp.einsum("cqd,cqid->cqi", uq, self.g2)
+        s = jnp.einsum("cqd,ckd->cqk", uq, self.Jinv)
+        wg = jnp.einsum("cqk,qik->cqi", s, self.dphi2)
         elem = jnp.einsum("cq,cq,cqi,cqj->cij", self.wdet, delta, wg, wg)
         return self.pat_p2.assemble_values(elem)
 

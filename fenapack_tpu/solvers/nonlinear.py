@@ -115,27 +115,60 @@ class NonlinearSolver:
         w = jnp.zeros(self.n, dtype=self.oseen.dtype)
         return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
 
+    def make_residual_hi(self):
+        """Lifted high-precision residual (drives IR/nonlinear convergence)."""
+        asm = self.asm
+        n_u = self.n_u
+        dt_hi = jnp.dtype(asm.dtype)
+        free_u = self.oseen.free_u.astype(dt_hi)
+        encl = self.enclosed
+        p_active = asm.p_active.astype(dt_hi)
+        n_p_real = float(asm.n1_real)
+
+        def residual_hi(w):
+            u, p = w[:n_u], w[n_u:]
+            ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi))
+            ru = free_u * ru
+            if encl:
+                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
+            F = jnp.concatenate([ru, rp])
+            return F, jnp.linalg.norm(F)
+
+        from ..runtime import lift_jit
+        return lift_jit(residual_hi, self.oseen._lift_roots)
+
     def solve_fused(self, w0: Optional[jnp.ndarray] = None, *,
                     rtol: float = 1e-5, rtol_lin: float = 1e-8,
-                    max_steps: int = 25, verbose: bool = False
-                    ) -> NonlinearResult:
-        """Production driver: one device call per nonlinear step
-        (:meth:`make_step_ir` — residual + IR linear solve + update fused).
+                    max_steps: int = 25, verbose: bool = False,
+                    split_programs: bool = False) -> NonlinearResult:
+        """Production driver around the fused IR step.
 
         True-residual IR restarts also repair f32 FGMRES estimate drift, so
         this path converges where the plain f32 loop stagnates.
+
+        ``split_programs=True`` runs residual and IR solve as two device
+        calls per step instead of one fused program — lower per-program
+        peak memory (XLA plans each separately), for near-HBM-capacity
+        problems; costs one extra host round-trip per step.
         """
         t0 = time.perf_counter()
-        step = self.make_step_ir(rtol_lin=rtol_lin)
         dt_hi = jnp.dtype(self.asm.dtype)
+        if split_programs:
+            res_fn = self.make_residual_hi()
+        else:
+            step = self.make_step_ir(rtol_lin=rtol_lin)
         w = (self.initial_state() if w0 is None else w0).astype(dt_hi)
         res_hist: List[float] = []
         it_hist: List[int] = []
         r0 = None
         converged = False
         for k in range(max_steps):
-            w_new, rn, iters, _ = step(w)
-            rn = float(rn)
+            if split_programs:
+                F, rn = res_fn(w)
+                rn = float(rn)
+            else:
+                w_new, rn, iters, _ = step(w)
+                rn = float(rn)
             res_hist.append(rn)
             if r0 is None:
                 r0 = rn if rn > 0 else 1.0
@@ -144,8 +177,14 @@ class NonlinearSolver:
             if rn <= max(rtol * r0, 1e-300):
                 converged = True
                 break
+            if split_programs:
+                # host-driven IR rounds: each device program stays small
+                x, iters, _ = self.oseen.solve_ir(w[:self.n_u], -F,
+                                                  rtol=rtol_lin)
+                w = w + x.astype(dt_hi)
+            else:
+                w = w_new
             it_hist.append(int(iters))
-            w = w_new
         return NonlinearResult(w=w, nonlinear_res=res_hist,
                                linear_iters=it_hist, linear_resnorms=[],
                                converged=converged,

@@ -464,6 +464,21 @@ class OseenSolver:
         from ..runtime import lift_jit
         return lift_jit(ir, self._lift_roots)
 
+    def make_true_residual(self):
+        """Lifted ``(wind, x, b) -> (r, |r|)`` with the high-precision
+        operator REBUILT from the wind inside the program (no per-call
+        constants => no recompilation across IR rounds, small program)."""
+        from ..runtime import lift_jit
+
+        def true_res(wind, x, b):
+            dt_hi = jnp.dtype(self.asm.dtype)
+            A1h, Rh = self._operator_values_raw(wind.astype(dt_hi), hi=True)
+            mv = self._matvec_factory(A1h, Rh, hi=True)
+            r = b.astype(dt_hi) - mv(x)
+            return r, jnp.linalg.norm(r)
+
+        return lift_jit(true_res, self._lift_roots)
+
     def solve_ir(self, wind, b, rtol: float = 1e-8, atol: float = 0.0,
                  max_rounds: int = 12):
         """Mixed-precision iterative refinement to ``rtol`` on the TRUE
@@ -479,8 +494,8 @@ class OseenSolver:
         """
         dt_hi = jnp.dtype(self.asm.dtype)
         wind_hi = wind.astype(dt_hi)
-        A1vals, R = self._operator_values_raw(wind_hi, hi=True)
-        matvec_hi = jax.jit(self._matvec_factory(A1vals, R, hi=True))
+        if not hasattr(self, "_true_res_fn"):
+            self._true_res_fn = self.make_true_residual()
 
         b_hi = b.astype(dt_hi)
         bnorm = float(jnp.linalg.norm(b_hi))
@@ -490,8 +505,11 @@ class OseenSolver:
         hist = []
         total = 0
         for rnd in range(max_rounds):
-            r = b_hi - matvec_hi(x) if rnd else b_hi
-            rn = float(jnp.linalg.norm(r))
+            if rnd:
+                r, rn = self._true_res_fn(wind_hi, x, b_hi)
+                rn = float(rn)
+            else:
+                r, rn = b_hi, bnorm
             hist.append(rn)
             if rn <= tol or rn == 0.0:
                 break
