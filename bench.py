@@ -51,7 +51,8 @@ def build(level: int, variant: str, ls: str = "direct",
         mesh = meshmod.backward_step_mesh(level)
     # GMG transfers need natural ordering; block tiles help either way
     asm = NSAssembler(mesh, 0.02, dtype=jnp.float64, block_size=block_size,
-                      reorder=(block_size is not None and ls != "iterative"))
+                      reorder=(block_size is not None and ls != "iterative"),
+                      block_dtype=jnp.float32 if block_size else None)
 
     def inflow(x):
         v = np.zeros((x.shape[0], 2))
@@ -138,9 +139,9 @@ def time_pcd_apply(nl, w, n_apply=200):
 
 
 def main():
-    level = int(os.environ.get("BENCH_LEVEL", "1"))
+    level = int(os.environ.get("BENCH_LEVEL", "2"))
     variant = os.environ.get("BENCH_VARIANT", "BRM2")
-    ls = os.environ.get("BENCH_LS", "direct")
+    ls = os.environ.get("BENCH_LS", "iterative")
     bs = int(os.environ.get("BENCH_BLOCK", "32")) or None
     nl = build(level, variant, ls=ls, block_size=bs)
 

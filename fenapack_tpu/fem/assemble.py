@@ -328,13 +328,6 @@ class NSAssembler:
         g1 = self.g1
         phi1, dphi2, Jinv = self.phi1, self.dphi2, self.Jinv
         adet, qw = self.adet, self.qw
-        if out_dtype is not None:
-            # assemble natively in the output precision: these operators
-            # only feed the compute pipeline, and wide temporaries at 3D
-            # scale would exhaust HBM
-            g1, phi1 = g1.astype(out_dtype), phi1.astype(out_dtype)
-            dphi2, Jinv = dphi2.astype(out_dtype), Jinv.astype(out_dtype)
-            adet, qw = adet.astype(out_dtype), qw.astype(out_dtype)
         p2, p1, pdiv, pdivT = self._pats(hi)
 
         # viscous: adet_c * M_ckl * T_klij ;  M = Jinv Jinv^T (metric),
@@ -345,8 +338,7 @@ class NSAssembler:
 
         # masses: adet_c * (sum_q qw phi phi)
         if not skip_m2:
-            phi2c = self.phi2.astype(qw.dtype)
-            mref2 = jnp.einsum("q,qi,qj->ij", qw, phi2c, phi2c)
+            mref2 = jnp.einsum("q,qi,qj->ij", qw, self.phi2, self.phi2)
             mass_p2 = adet[:, None, None] * mref2[None]
         mref1 = jnp.einsum("q,ql,qm->lm", qw, phi1, phi1)
         mass_p1 = adet[:, None, None] * mref1[None] / self.nu
@@ -359,7 +351,15 @@ class NSAssembler:
         div = [div_all[..., a] for a in range(self.dim)]
 
         def asm_op(pat, elem):
-            return pat.matrix(pat.assemble_values(elem))
+            vals = pat.assemble_values(elem)
+            if out_dtype is not None:
+                # accumulate in assembler precision (f64), cast the RESULT:
+                # f32-accumulated sums carry ~2e-6 relative error, which
+                # costs extra IR rounds; one op's f64 temporary at a time
+                # (eager init context) stays within HBM with the factored
+                # integrals
+                vals = jax.block_until_ready(vals.astype(out_dtype))
+            return pat.matrix(vals)
 
         L = asm_op(p2, visc)
         D = tuple(asm_op(pdiv, da) for da in div)
