@@ -23,6 +23,11 @@ def setup(x64: bool = True, cache_dir: str | None = None) -> None:
       compile; repeat runs are free.
     - optional x64 for high-precision IR residuals (f32 compute unaffected).
     """
+    # the environment may force-register a remote TPU backend via
+    # sitecustomize (jax_platforms preset); FENAPACK_PLATFORM overrides it
+    platform = os.environ.get("FENAPACK_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     if x64:
         jax.config.update("jax_enable_x64", True)
     try:
