@@ -25,6 +25,31 @@ def test_fused_ir_reaches_1e8():
     assert int(iters) > 0
 
 
+def test_ir_iteration_efficiency_vs_golden():
+    """Guard the bench metric: the f32+IR path's per-step inner iterations
+    must stay within 1.35x of the oracle's exact-LU counts (regression
+    caught here once: f32-accumulated operator constants cost an extra IR
+    round per solve)."""
+    import json, os
+    golden_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden_counts.json")
+    with open(golden_path) as f:
+        golden = json.load(f)["step2d/l0/BRM2/picard"]["linear_iters"]
+
+    nl = make_step_solver(0, "BRM2", **{"dtype": "float32",
+                                        "krylov.rtol": 2e-6,
+                                        "krylov.maxiter": 80})
+    step = nl.make_step_ir(rtol_lin=1e-8)
+    w = nl.initial_state().astype(jnp.float64)
+    iters = []
+    for k in range(4):
+        w_new, rn, it, _ = step(w)
+        iters.append(int(it))
+        w = w_new
+    for ours, ref in zip(iters[1:], golden[1:]):   # skip warmup step
+        assert ours <= 1.35 * ref + 2, (iters, golden[:4])
+
+
 def test_host_ir_matches_fused():
     nl = make_step_solver(0, "BRM2", **{"dtype": "float32",
                                         "krylov.rtol": 2e-6,
