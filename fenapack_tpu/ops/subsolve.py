@@ -128,11 +128,20 @@ def dense_lu_solver(A_dense: jnp.ndarray) -> Callable:
 
 
 def masked_spd_solver_dense(ell: ELL, pattern, bc_mask: np.ndarray,
-                            dtype=None) -> Callable:
-    """Dense LU of the symmetric bc-eliminated operator
+                            dtype=None, nullspace: bool = False) -> Callable:
+    """Dense exact solver of the symmetric bc-eliminated operator
     ``free A free + I_bc`` (validation path; exact like the reference's LU).
+
+    ``nullspace=True`` (enclosed flows: pure-Neumann pressure Laplacian)
+    adds the rank-1 constant shift ``(1/n) 1 1^T`` on the free block so the
+    explicit inverse exists; combined with the constant-mode projections in
+    the PCD apply this acts as the pseudo-inverse — the analogue of
+    attaching a PETSc constant nullspace to the Ap KSP.
     """
     A = pattern.to_scipy(ell).toarray()
     free = 1.0 - np.asarray(bc_mask)
     A = free[:, None] * A * free[None, :] + np.diag(np.asarray(bc_mask))
+    if nullspace:
+        n_free = max(float(free.sum()), 1.0)
+        A = A + np.outer(free, free) / n_free
     return dense_lu_solver(jnp.asarray(A, dtype=dtype or ell.vals.dtype))

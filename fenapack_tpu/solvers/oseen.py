@@ -135,7 +135,7 @@ class OseenSolver:
         return mv
 
     def _make_spd_solver(self, ell: ELL, pattern, mask, cfg: SubsolveConfig,
-                         hierarchy=None):
+                         hierarchy=None, nullspace: bool = False):
         """Return a FACTORY for the subsolver of an SPD pressure operator
         (Ap or Mp).
 
@@ -149,7 +149,8 @@ class OseenSolver:
         dt = self.dtype
         if cfg.method == "lu":
             bc = np.zeros(ell.shape[0]) if mask is None else np.asarray(mask)
-            solve = subsolve.masked_spd_solver_dense(ell, pattern, bc, dt)
+            solve = subsolve.masked_spd_solver_dense(ell, pattern, bc, dt,
+                                                     nullspace=nullspace)
             self._lift_refs.append(solve._holder)
             return lambda: solve
         if cfg.method == "lumped":
@@ -205,7 +206,8 @@ class OseenSolver:
         ap_mask = self._union(
             self.pcd_mask if self.has_pcd_bcs else None, self.p_pad)
         self._ap_factory = self._make_spd_solver(
-            c.Ap, asm.pat_p1, ap_mask, cfg.pcd.ap, hierarchy=ap_hierarchy)
+            c.Ap, asm.pat_p1, ap_mask, cfg.pcd.ap, hierarchy=ap_hierarchy,
+            nullspace=self._nullspace)
         self._mp_factory = self._make_spd_solver(
             c.Mp, asm.pat_p1, self.p_pad, cfg.pcd.mp)
         self.velocity_hierarchy = velocity_hierarchy
