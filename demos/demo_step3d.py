@@ -24,9 +24,13 @@ def main():
     ap.add_argument("--pcd", choices=["BRM1", "BRM2"], default="BRM2")
     ap.add_argument("--nls", choices=["picard", "newton"], default="picard")
     ap.add_argument("--rtol", type=float, default=1e-5)
-    ap.add_argument("--velocity", choices=["lu", "jacobi", "chebyshev"],
-                    default="jacobi")
+    ap.add_argument("--velocity", choices=["lu", "jacobi", "chebyshev",
+                                           "gmg"],
+                    default="gmg")
     ap.add_argument("--velocity-iters", type=int, default=30)
+    ap.add_argument("--gmg-levels", type=int, default=None,
+                    help="mesh-hierarchy depth for --velocity gmg "
+                         "(default: level, so the coarse grid is l=0)")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--block", type=int, default=32,
                     help="block-sparse tile size (0 = ELL layout)")
@@ -52,9 +56,21 @@ def main():
                            else "float32")
 
     t0 = time.perf_counter()
-    mesh = mesh3d.backward_step_mesh3d(args.level)
+    hier = None
+    if args.velocity == "gmg":
+        # same geometry: refine^k(step3d(l-k)) == step3d(l) (h halves per
+        # red refinement); GMG transfers need the natural dof ordering
+        from fenapack_tpu.solvers import gmg
+        depth = args.gmg_levels if args.gmg_levels is not None \
+            else args.level
+        hier = gmg.build_hierarchy(
+            mesh3d.backward_step_mesh3d(args.level - depth), depth)
+        mesh = hier.fine
+    else:
+        mesh = mesh3d.backward_step_mesh3d(args.level)
     asm = NSAssembler(mesh, args.nu, dtype=jnp.float64, quad_degree=4,
                       block_size=args.block or None,
+                      reorder=False if args.velocity == "gmg" else None,
                       block_dtype=jnp.float32 if dtype == "float32" else None)
 
     def inflow(x):
@@ -76,10 +92,25 @@ def main():
     if args.velocity == "lu":
         over.update({"velocity.method": "lu", "krylov.maxiter": 100,
                      "pcd.ap.method": "lu"})
+    ap_h = v_h = None
+    if args.velocity == "gmg":
+        from fenapack_tpu.solvers import gmg
+        over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
+                     "velocity.cycles": 2, "pcd.ap.method": "gmg",
+                     "krylov.maxiter": min(args.maxiter, 120)})
+        marker = meshmod.INFLOW if args.pcd == "BRM1" else meshmod.OUTFLOW
+        bdt = jnp.float32 if dtype == "float32" else jnp.float64
+        ap_h = gmg.PressureHierarchy(hier, bdt, pcd_markers=[marker],
+                                     block_size=args.block or None)
+        v_h = gmg.VelocityHierarchy(
+            hier, args.nu, bdt,
+            bc_markers=[meshmod.WALL, meshmod.INFLOW],
+            fine_asm=asm, block_size=args.block or None)
     cfg = overrides(SolverConfig(), over)
     if over["pcd.ap.method"] == "chebyshev":
         cfg = overrides(cfg, {"pcd.ap.bounds": None})
-    solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls)
+    solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls,
+                             ap_hierarchy=ap_h, velocity_hierarchy=v_h)
     ndof = 3 * asm.n2_real + asm.n1_real
     print(f"3D step l={args.level}  nu={args.nu}  cells {mesh.num_cells}  "
           f"dofs {ndof}  setup {time.perf_counter() - t0:.1f}s")

@@ -189,6 +189,74 @@ def box_union_mesh3d(boxes, h: float) -> TetMesh:
     return _build_topology(full.vertices[used], remap[cells])
 
 
+def refine_uniform3d(mesh: TetMesh) -> Tuple[TetMesh, np.ndarray]:
+    """Uniform 1:8 (red) tet refinement with parent tracking.
+
+    Returns ``(fine, parents)`` with the same contract as the 2D
+    ``fem.mesh.refine_uniform``: ``parents`` is (nv_fine, 2) int32 — the
+    P1 prolongation stencil (surviving vertices have equal parents, new
+    vertices average their edge endpoints).  Child cells are emitted in 8
+    contiguous blocks of ``num_cells`` (4 corner tets + 4 octahedron tets
+    split along the fixed diagonal m02-m13), the order the P2 GMG transfer
+    relies on to recover each fine cell's parent.
+    """
+    nv = mesh.num_vertices
+    midpoints = 0.5 * (mesh.vertices[mesh.edges[:, 0]]
+                       + mesh.vertices[mesh.edges[:, 1]])
+    vertices = np.concatenate([mesh.vertices, midpoints])
+    parents = np.concatenate([
+        np.stack([np.arange(nv), np.arange(nv)], axis=1),
+        mesh.edges.astype(np.int64),
+    ]).astype(np.int32)
+
+    v = [mesh.cells[:, k] for k in range(4)]
+    # midpoint ids by local edge order LOCAL_EDGES=[(0,1),(0,2),(0,3),
+    # (1,2),(1,3),(2,3)]
+    m01, m02, m03, m12, m13, m23 = (nv + mesh.cell_edges[:, k]
+                                    for k in range(6))
+    blocks = [
+        np.stack([v[0], m01, m02, m03], 1),     # corner tets
+        np.stack([v[1], m01, m12, m13], 1),
+        np.stack([v[2], m02, m12, m23], 1),
+        np.stack([v[3], m03, m13, m23], 1),
+        # octahedron split along diagonal (m02, m13); equator cycle
+        # m01 -> m03 -> m23 -> m12 (consecutive pairs share a tet face)
+        np.stack([m02, m13, m01, m03], 1),
+        np.stack([m02, m13, m03, m23], 1),
+        np.stack([m02, m13, m23, m12], 1),
+        np.stack([m02, m13, m12, m01], 1),
+    ]
+    fine = _build_topology(vertices, np.concatenate(blocks))
+    if mesh.facet_markers.any():
+        _propagate_markers3d(mesh, fine, parents)
+    return fine, parents
+
+
+def _propagate_markers3d(coarse: TetMesh, fine: TetMesh,
+                         parents: np.ndarray) -> None:
+    """Transfer facet markers topologically: each fine boundary face is one
+    of the 4 sub-triangles of a coarse boundary face, and the union of its
+    vertices' parents is exactly that coarse face's vertex triple."""
+    pu = parents[fine.boundary_faces]                 # (nbf_f, 3, 2)
+    tri = np.sort(pu.reshape(pu.shape[0], -1), axis=1)
+    # unique-ify the 6 parent ids down to 3 (each appears twice or the
+    # vertex is a surviving corner listed twice)
+    keys_f = np.zeros((tri.shape[0], 3), dtype=np.int64)
+    for i in range(tri.shape[0]):
+        u = np.unique(tri[i])
+        keys_f[i] = u if u.shape[0] == 3 else np.pad(u, (0, 3 - u.shape[0]),
+                                                     constant_values=u[-1])
+    nvc = coarse.num_vertices
+    key_f = (keys_f[:, 0] * nvc + keys_f[:, 1]) * nvc + keys_f[:, 2]
+    cf = np.sort(coarse.boundary_faces, axis=1).astype(np.int64)
+    key_c = (cf[:, 0] * nvc + cf[:, 1]) * nvc + cf[:, 2]
+    order = np.argsort(key_c)
+    pos = np.searchsorted(key_c[order], key_f)
+    pos = np.clip(pos, 0, key_c.shape[0] - 1)
+    hit = key_c[order[pos]] == key_f
+    fine.facet_markers[hit] = coarse.facet_markers[order[pos[hit]]]
+
+
 # marker ids shared with the 2D module
 from .mesh import WALL, INFLOW, OUTFLOW   # noqa: E402
 

@@ -59,12 +59,17 @@ class MeshHierarchy:
         return self.meshes[-1]
 
 
-def build_hierarchy(coarse: TriMesh, levels: int) -> MeshHierarchy:
-    """Refine ``coarse`` ``levels`` times; finest mesh is the problem mesh."""
+def build_hierarchy(coarse, levels: int) -> MeshHierarchy:
+    """Refine ``coarse`` ``levels`` times; finest mesh is the problem mesh.
+    Dispatches on mesh dimension (TriMesh 1:4 red / TetMesh 1:8 red)."""
+    if coarse.vertices.shape[1] == 3:
+        from ..fem.mesh3d import refine_uniform3d as refine
+    else:
+        refine = meshmod.refine_uniform
     meshes = [coarse]
     parents = []
     for _ in range(levels):
-        fine, par = meshmod.refine_uniform(meshes[-1])
+        fine, par = refine(meshes[-1])
         meshes.append(fine)
         parents.append(par)
     return MeshHierarchy(meshes=meshes, parents=parents)
@@ -263,60 +268,63 @@ def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
 # --------------------------------------------------------------------- #
 
 class P2Transfer:
-    """P2 scalar-field transfer between consecutive meshes.
+    """P2 scalar-field transfer between consecutive meshes (2D and 3D).
 
     Uses the identity ``P2 dofs on coarse mesh == vertices of fine mesh``:
     the first ``nv_f`` fine P2 dofs (fine vertices) coincide geometrically
     with the coarse P2 dofs (injection/identity); each fine *edge midpoint*
-    dof is interpolated with the 6 coarse P2 basis values of its parent
-    cell, precomputed on the host.
+    dof is interpolated with the coarse P2 basis values (6 in 2D / 10 in 3D)
+    of its parent cell, precomputed on the host.
     """
 
-    def __init__(self, coarse: TriMesh, fine: TriMesh, dtype,
-                 block_size=None):
+    def __init__(self, coarse, fine, dtype, block_size=None):
+        d = coarse.vertices.shape[1]
         nv_f, ne_f = fine.num_vertices, fine.num_edges
         self.n_coarse = coarse.num_vertices + coarse.num_edges   # == nv_f
         assert self.n_coarse == nv_f, "fine mesh must be refine(coarse)"
         self.n_fine = nv_f + ne_f
         self._block_size = block_size
 
-        # parent coarse cell of each fine cell: refine_uniform emits the 4
-        # child blocks contiguously, each of length nc_coarse
+        # parent coarse cell of each fine cell: refinement emits the child
+        # blocks contiguously (4 in 2D / 8 in 3D), each of length nc_coarse
         nc_c = coarse.num_cells
-        child_parent = np.tile(np.arange(nc_c, dtype=np.int64), 4)
+        n_children = 4 if d == 2 else 8
+        child_parent = np.tile(np.arange(nc_c, dtype=np.int64), n_children)
 
         # fine edge -> one incident fine cell -> parent coarse cell
+        n_loc_edges = fine.cell_edges.shape[1]
         fe_cell = np.full(ne_f, -1, dtype=np.int64)
-        for k in range(3):
+        for k in range(n_loc_edges):
             fe_cell[fine.cell_edges[:, k]] = np.arange(fine.num_cells)
         parent = child_parent[fe_cell]
 
         # midpoint reference coords in the parent coarse cell
         mids = 0.5 * (fine.vertices[fine.edges[:, 0]]
                       + fine.vertices[fine.edges[:, 1]])
-        v = coarse.vertices[coarse.cells[parent]]        # (ne_f, 3, 2)
-        J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
-        rhs = mids - v[:, 0]
-        det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
-        xr = (J[:, 1, 1] * rhs[:, 0] - J[:, 0, 1] * rhs[:, 1]) / det
-        yr = (-J[:, 1, 0] * rhs[:, 0] + J[:, 0, 0] * rhs[:, 1]) / det
-        from ..fem.elements import p2_basis
-        phi, _ = p2_basis(np.stack([xr, yr], axis=1))     # (ne_f, 6)
+        v = coarse.vertices[coarse.cells[parent]]        # (ne_f, d+1, d)
+        J = np.stack([v[:, i + 1] - v[:, 0] for i in range(d)], axis=2)
+        ref = np.linalg.solve(J, (mids - v[:, 0])[..., None])[..., 0]
+        if d == 2:
+            from ..fem.elements import p2_basis
+        else:
+            from ..fem.elements3d import p2_basis
+        phi, _ = p2_basis(ref)                           # (ne_f, nb2)
+        nb2 = phi.shape[1]
 
         nv_c = coarse.num_vertices
         cdofs = np.concatenate([coarse.cells[parent],
                                 nv_c + coarse.cell_edges[parent]], axis=1)
-        self.mid_dofs = jnp.asarray(cdofs.astype(np.int32))   # (ne_f, 6)
+        self.mid_dofs = jnp.asarray(cdofs.astype(np.int32))   # (ne_f, nb2)
         self.mid_w = jnp.asarray(phi, dtype=dtype)
 
         self._P = self._PT = None
         if self._block_size:
             # materialize P as block-sparse (TPU: tile SpMV >> gathers):
-            # identity rows for fine vertices + 6-weight rows for midpoints
+            # identity rows for fine vertices + basis-weight midpoint rows
             from ..ops.sparse import BlockSparsityPattern
             nc = self.n_coarse
             rows = np.concatenate([np.arange(nv_f, dtype=np.int64),
-                                   (nv_f + np.arange(ne_f)).repeat(6)])
+                                   (nv_f + np.arange(ne_f)).repeat(nb2)])
             cols = np.concatenate([np.arange(nv_f, dtype=np.int64),
                                    cdofs.astype(np.int64).ravel()])
             vals = jnp.concatenate([jnp.ones(nv_f, dtype),
@@ -388,28 +396,31 @@ class VelocityHierarchy:
 
 
 class _VectorTransfer:
-    """Lift a scalar P2 transfer to the stacked [u_x; u_y] layout.
+    """Lift a scalar P2 transfer to the stacked [u_0; ...; u_{d-1}] layout.
 
     ``n2c``/``n2f`` are the (possibly alignment-padded) per-component sizes;
     the scalar transfer acts on the leading real dofs, padding stays zero.
     """
 
-    def __init__(self, t: P2Transfer, n2c: int, n2f: int):
+    def __init__(self, t: P2Transfer, n2c: int, n2f: int, d: int = 2):
         self.t = t
         self.n2c, self.n2f = n2c, n2f
+        self.d = d
 
     def _pad(self, x, n):
         return jnp.pad(x, (0, n - x.shape[0])) if n > x.shape[0] else x
 
     def prolong(self, xc):
-        a, b = xc[:self.n2c][:self.t.n_coarse], xc[self.n2c:][:self.t.n_coarse]
-        return jnp.concatenate([self._pad(self.t.prolong(a), self.n2f),
-                                self._pad(self.t.prolong(b), self.n2f)])
+        comps = [xc[a * self.n2c:(a + 1) * self.n2c][:self.t.n_coarse]
+                 for a in range(self.d)]
+        return jnp.concatenate([self._pad(self.t.prolong(c), self.n2f)
+                                for c in comps])
 
     def restrict(self, rf):
-        a, b = rf[:self.n2f][:self.t.n_fine], rf[self.n2f:][:self.t.n_fine]
-        return jnp.concatenate([self._pad(self.t.restrict(a), self.n2c),
-                                self._pad(self.t.restrict(b), self.n2c)])
+        comps = [rf[a * self.n2f:(a + 1) * self.n2f][:self.t.n_fine]
+                 for a in range(self.d)]
+        return jnp.concatenate([self._pad(self.t.restrict(c), self.n2c)
+                                for c in comps])
 
 
 def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
@@ -425,6 +436,7 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
     """
     L = len(vh.asms)
     fine_asm = vh.asms[-1]
+    d = fine_asm.dim
 
     # wind on every level by repeated injection (slices — free on TPU)
     winds = [None] * L
@@ -433,7 +445,8 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
         t = vh.transfers[l]
         wf = winds[l + 1]
         n2f = vh.asms[l + 1].n2
-        winds[l] = jnp.concatenate([t.inject(wf[:n2f]), t.inject(wf[n2f:])])
+        winds[l] = jnp.concatenate(
+            [t.inject(wf[a * n2f:(a + 1) * n2f]) for a in range(d)])
 
     matvecs, dinvs, masks_u, vtransfers = [], [], [], []
     def level_values(asm, wl):
@@ -459,52 +472,49 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
             mask_u = bc_mask_u_fine
         else:
             m = vh.masks[l]
-            mask_u = jnp.concatenate([m, m])
+            mask_u = jnp.concatenate([m] * d)
         free = 1.0 - mask_u
         A1 = asm.pat_p2.matrix(A1vals)
 
         def mv(x, A1=A1, R=R, asm=asm, n2=n2, free=free, mask=mask_u):
             xf = free * x
-            ux, uy = xf[:n2], xf[n2:]
-            yx = A1.mv(ux)
-            yy = A1.mv(uy)
+            comps = [xf[a * n2:(a + 1) * n2] for a in range(d)]
+            ys = [A1.mv(comps[a]) for a in range(d)]
             if R is not None:
-                yx = yx + asm.pat_p2.matrix(R[0, 0]).mv(ux) \
-                        + asm.pat_p2.matrix(R[0, 1]).mv(uy)
-                yy = yy + asm.pat_p2.matrix(R[1, 0]).mv(ux) \
-                        + asm.pat_p2.matrix(R[1, 1]).mv(uy)
-            return free * jnp.concatenate([yx, yy]) + mask * x
+                for a in range(d):
+                    for b in range(d):
+                        ys[a] = ys[a] + asm.pat_p2.matrix(R[a, b]).mv(
+                            comps[b])
+            return free * jnp.concatenate(ys) + mask * x
 
         diag1 = A1.diag_from(asm.pat_p2.diag_pos)
         if R is not None:
-            diag1x = diag1 + asm.pat_p2.matrix(R[0, 0]).diag_from(
-                asm.pat_p2.diag_pos)
-            diag1y = diag1 + asm.pat_p2.matrix(R[1, 1]).diag_from(
-                asm.pat_p2.diag_pos)
-            diag = jnp.concatenate([diag1x, diag1y])
+            diag = jnp.concatenate([
+                diag1 + asm.pat_p2.matrix(R[a, a]).diag_from(
+                    asm.pat_p2.diag_pos) for a in range(d)])
         else:
-            diag = jnp.concatenate([diag1, diag1])
+            diag = jnp.concatenate([diag1] * d)
         diag = jnp.where(mask_u > 0, 1.0, diag)
         matvecs.append(mv)
         dinvs.append(1.0 / diag)
         masks_u.append(mask_u)
         if l > 0:
             vtransfers.append(_VectorTransfer(vh.transfers[l - 1],
-                                              vh.asms[l - 1].n2, n2))
+                                              vh.asms[l - 1].n2, n2, d=d))
 
     # coarse solve: dense masked LU of the traced coarse operator
     asm0 = vh.asms[0]
-    n2_0 = asm0.n2
     mask0 = masks_u[0]
 
     def coarse_solve_factory():
         A1vals, Rv = level_vals_cache[0]
         A1 = asm0.pat_p2.to_dense(A1vals)
         Z = jnp.zeros_like(A1)
-        A = jnp.block([[A1, Z], [Z, A1]])
+        A = jnp.block([[A1 if a == b else Z for b in range(d)]
+                       for a in range(d)])
         if Rv is not None:
-            blocks = [[asm0.pat_p2.to_dense(Rv[a, b]) for b in range(2)]
-                      for a in range(2)]
+            blocks = [[asm0.pat_p2.to_dense(Rv[a, b]) for b in range(d)]
+                      for a in range(d)]
             A = A + jnp.block(blocks)
         free0 = 1.0 - mask0
         A = free0[:, None] * A * free0[None, :] + jnp.diag(mask0)
