@@ -67,7 +67,20 @@ def build(level: int, variant: str, ls: str = "direct",
         "pcd.variant": variant,
         "krylov.rtol": 2e-6,          # inner IR correction tolerance
         "krylov.maxiter": 80,
+        # GCRO-DR recycling: net win once refresh_recycle's batched SpMV is
+        # pinned to full f32 (bf16 MXU default corrupted C=AU; 886 iters ->
+        # 324 at k=16 vs 339 undeflated)
+        "krylov.recycle": int(os.environ.get("BENCH_RECYCLE", "16")),
+        # measured: f64 outer matvec does NOT cut iterations (the 2-round
+        # IR floor comes from the f32 residual-ESTIMATE resolution, not
+        # matvec accuracy) and costs +3.5s wall; opt-in only
+        "krylov.hi_matvec": os.environ.get("BENCH_HI_MATVEC", "0") == "1",
     }
+    if over["krylov.hi_matvec"]:
+        # f64 outer matvec: a single f32 round reaches much deeper before
+        # the true residual stalls
+        over["krylov.ir_attainable"] = float(
+            os.environ.get("BENCH_ATT", "1e-7"))
     ap_h = v_h = None
     if ls == "iterative":
         over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
@@ -92,11 +105,16 @@ def picard_ir(nl, step=None, rtol_nl=1e-5, rtol_lin=1e-8, max_steps=25):
     residual + whole IR linear solve + update)."""
     if step is None:
         step = nl.make_step_ir(rtol_lin=rtol_lin)
+    kr = nl.oseen.config.krylov.recycle
+    rec = nl.initial_recycle() if kr else None
     w = nl.initial_state().astype(jnp.float64)
     iters, res = [], []
     r0 = None
     for _ in range(max_steps):
-        w_new, rn, inner, _ = step(w)
+        if kr:
+            w_new, rn, inner, _, rec = step(w, rec)
+        else:
+            w_new, rn, inner, _ = step(w)
         rn = float(rn)
         res.append(rn)
         if r0 is None:

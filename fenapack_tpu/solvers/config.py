@@ -34,6 +34,25 @@ class KrylovConfig:
     rtol: float = 1e-8
     atol: float = 0.0
     maxiter: int = 100
+    # mixed-precision IR round scheduling (OseenSolver.make_ir_solve):
+    # a single f32 FGMRES round cannot reduce the TRUE residual by more
+    # than ~eps_f32 * kappa regardless of how far its internal estimate
+    # converges; ``ir_attainable`` is the assumed per-round attainable
+    # true-residual reduction (learned online when a round falls short),
+    # ``ir_safety`` the factor by which each round's estimate target
+    # undershoots its true-reduction target to absorb estimate drift.
+    ir_attainable: float = 3e-5
+    ir_safety: float = 0.4
+    # GCRO-DR recycle-space dimension (0 = off): deflates the slowest
+    # Krylov directions across IR rounds (same operator) and nonlinear
+    # steps (nearby operator), removing the per-round Arnoldi startup cost
+    recycle: int = 0
+    # evaluate the OUTER system matvec (w = A z, once per FGMRES iteration)
+    # with the high-precision (f64) operator while the preconditioner and
+    # Krylov algebra stay f32: raises the per-round attainable true-residual
+    # reduction, cutting IR rounds.  Cost: one emulated-f64 SpMV per
+    # iteration (small vs the GMG preconditioner apply).
+    hi_matvec: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

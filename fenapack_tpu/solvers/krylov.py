@@ -31,12 +31,64 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_EPS = {"float32": 6.0e-8, "float64": 2.3e-16, "bfloat16": 3.9e-3}
+
+
 class FGMRESResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray          # scalar int32
     resnorms: jnp.ndarray       # (maxiter + 1,), padded with last value
     converged: jnp.ndarray      # scalar bool
     bnorm: jnp.ndarray
+
+
+class RecycleSpace(NamedTuple):
+    """GCRO-DR recycle space: ``k`` solution-space directions ``U`` (rows)
+    with their operator images ``C = A U`` (rows, orthonormal).
+
+    The TPU-native analogue of PETSc's ``KSPHPDDM``-style recycling: across
+    the IR rounds of one linear solve the operator is IDENTICAL and across
+    Picard steps it changes slowly, so re-deriving the slow Krylov directions
+    from scratch every round pays the Arnoldi startup cost (~5 iterations)
+    over and over.  ``valid`` is 0.0 until the space is first populated.
+    """
+    U: jnp.ndarray              # (k, n)
+    C: jnp.ndarray              # (k, n) rows orthonormal, C = A U
+    valid: jnp.ndarray          # scalar float (0.0 | 1.0)
+
+
+def empty_recycle(k: int, n: int, dtype) -> RecycleSpace:
+    return RecycleSpace(U=jnp.zeros((k, n), dtype),
+                        C=jnp.zeros((k, n), dtype),
+                        valid=jnp.zeros((), dtype))
+
+
+def refresh_recycle(matvec: Callable, rec: RecycleSpace) -> RecycleSpace:
+    """Re-bind a recycle space to a NEW operator: recompute C = A U and
+    re-orthonormalize (QR), folding the triangular factor into U so the
+    invariant ``C = A U, C C^T = I`` holds for the new matrix."""
+    k, n = rec.U.shape
+    with jax.default_matmul_precision("highest"):
+        # NOTE the vmapped SpMV becomes a batched contraction that XLA may
+        # route through bf16 MXU passes at default precision — a 4e-3
+        # relative error in C = A U silently defeats the whole deflation
+        Cp = jax.vmap(matvec)(rec.U)                 # (k, n)
+        Q, R = jnp.linalg.qr(Cp.T)                   # (n,k), (k,k)
+    Rg = R + jnp.diag(_diag_guard(R))
+    # U_new^T = U^T R^{-1}  =>  U_new = R^{-T} U
+    U_new = jax.scipy.linalg.solve_triangular(Rg.T, rec.U, lower=True)
+    ok = rec.valid > 0
+    return RecycleSpace(U=jnp.where(ok, U_new, 0.0),
+                        C=jnp.where(ok, Q.T, 0.0),
+                        valid=rec.valid)
+
+
+def _diag_guard(R, tiny: float = 1e-20):
+    """Diagonal shift that pins (near-)zero pivots of a triangular factor to
+    1 so the subsequent solve stays finite (results on those columns are
+    masked out by the caller)."""
+    d = jnp.abs(jnp.diagonal(R))
+    return jnp.where(d > tiny, 0.0, 1.0).astype(R.dtype)
 
 
 def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
@@ -48,6 +100,27 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
     jit-safe.  No restarts: ``maxiter`` is the Krylov dimension (PCD keeps
     outer counts in the tens, cf. BASELINE.md).
     """
+    res, _ = _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, None)
+    return res
+
+
+def fgmres_dr(matvec: Callable, pc: Callable, b: jnp.ndarray,
+              rec: RecycleSpace, x0: Optional[jnp.ndarray] = None, *,
+              maxiter: int = 100, rtol: float = 1e-8, atol: float = 0.0):
+    """Deflated-recycling FGMRES (GCRO-DR flavor, Parks et al. 2006).
+
+    Solves with the Krylov space augmented by ``rec`` (deflating the slow
+    directions of previous solves with the same/nearby operator) and returns
+    ``(result, rec_new)`` where the new recycle space holds the ``k``
+    smallest-singular-direction vectors of the combined space — the
+    directions that dominate the iteration count next time.  The caller must
+    :func:`refresh_recycle` when the operator changes between solves.
+    """
+    return _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, rec)
+
+
+def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
+                 rec: Optional[RecycleSpace]):
     n = b.shape[0]
     dtype = b.dtype
     m = maxiter
@@ -59,8 +132,19 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
         r0 = b - matvec(x0)
 
     bnorm = jnp.linalg.norm(b)
-    beta = jnp.linalg.norm(r0)
     tol = jnp.maximum(rtol * bnorm, atol)
+
+    if rec is not None:
+        kr = rec.U.shape[0]
+        U, C = rec.U, rec.C
+        # project out the recycle image space: the Arnoldi process runs on
+        # (I - C C^T) A pc(.), and the C components of the solution are
+        # reconstructed exactly at the end (alpha = c0 - B y)
+        c0 = C @ r0
+        r0 = r0 - C.T @ c0
+        Bm0 = jnp.zeros((m, kr), dtype)
+        Hm0 = jnp.zeros((m + 1, m), dtype)
+    beta = jnp.linalg.norm(r0)
 
     V0 = jnp.zeros((m + 1, n), dtype)
     V0 = V0.at[0].set(r0 / jnp.where(beta > 0, beta, 1.0))
@@ -72,17 +156,24 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
     hist0 = jnp.full(m + 1, beta, dtype)
 
     def cond(state):
-        k, V, Z, R, cs, sn, g, hist, done = state
+        k, V, Z, R, cs, sn, g, hist, done, aux = state
         return jnp.logical_and(k < m, jnp.logical_not(done))
 
     def body(state):
-        k, V, Z, R, cs, sn, g, hist, done = state
+        k, V, Z, R, cs, sn, g, hist, done, aux = state
         v = V[k]
         z = pc(v)
         w = matvec(z)
         Z = Z.at[k].set(z)
 
+        if rec is not None:
+            Bm, Hm = aux
+            bk = C @ w
+            w = w - C.T @ bk
+            Bm = Bm.at[k].set(bk)
+
         # masked CGS2: project onto span{V_0..V_k}
+        wnorm_pre = jnp.linalg.norm(w)
         mask = (jnp.arange(m + 1) <= k).astype(dtype)
         h1 = (V @ w) * mask
         w = w - V.T @ h1
@@ -90,8 +181,18 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
         w = w - V.T @ h2
         h = h1 + h2
         wnorm = jnp.linalg.norm(w)
+        # (near-)breakdown: the new direction is numerically inside the
+        # current span — normalizing it would inject an amplified-noise
+        # basis vector and silently decouple the residual ESTIMATE from the
+        # true residual (observed: est 1e-11 vs true 5e+1 after hundreds of
+        # unpreconditioned iterations).  Stop instead.
+        breakdown = wnorm <= 100.0 * _EPS[jnp.dtype(dtype).name] * wnorm_pre
         h = h.at[k + 1].set(wnorm)
         V = V.at[k + 1].set(w / jnp.where(wnorm > 0, wnorm, 1.0))
+
+        if rec is not None:
+            Hm = Hm.at[:, k].set(h)          # pre-rotation Hessenberg column
+            aux = (Bm, Hm)
 
         # apply existing rotations (identity for i >= k).  The sweep
         #   out_i = c_i a_i + s_i h_{i+1};  a_{i+1} = -s_i a_i + c_i h_{i+1}
@@ -123,12 +224,13 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
         res = jnp.abs(sk * g[k])
         g = g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k])
         hist = hist.at[k + 1].set(res)
-        done = res <= tol
-        return (k + 1, V, Z, R, cs, sn, g, hist, done)
+        done = jnp.logical_or(res <= tol, breakdown)
+        return (k + 1, V, Z, R, cs, sn, g, hist, done, aux)
 
+    aux0 = (Bm0, Hm0) if rec is not None else ()
     init = (jnp.array(0, jnp.int32), V0, Z0, R0, cs0, sn0, g0, hist0,
-            beta <= tol)
-    k, V, Z, R, cs, sn, g, hist, done = lax.while_loop(cond, body, init)
+            beta <= tol, aux0)
+    k, V, Z, R, cs, sn, g, hist, done, aux = lax.while_loop(cond, body, init)
 
     # back-substitute on the active k x k triangle (pad diag with 1s)
     active = jnp.arange(m) < k
@@ -136,9 +238,84 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
     gm = jnp.where(active, g[:m], 0.0)
     y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
     x = x0 + Z.T @ y
+    rec_new = None
+    if rec is not None:
+        Bm, Hm = aux
+        x = x + U.T @ (c0 - Bm.T @ y)
+        # C-space correction passes: the reconstruction above trusts
+        # C = A U, which holds only to f32 matvec/QR error |E|; that error
+        # times |alpha| lands in the TRUE residual and stalls IR rounds.
+        # Each pass cuts the C-space residual component by a further |E|
+        # at the cost of one matvec (no preconditioner apply).
+        for _ in range(2):
+            rt = b - matvec(x)
+            x = x + U.T @ (C @ rt)
+        rec_new = _deflation_update(matvec, rec, V, Z, Bm, Hm, k, m)
 
     # pad history tail with the final residual for clean semantics
     idx = jnp.minimum(jnp.arange(m + 1), k)
     hist = hist[idx]
     return FGMRESResult(x=x, iters=k, resnorms=hist, converged=done,
-                        bnorm=bnorm)
+                        bnorm=bnorm), rec_new
+
+
+def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m):
+    """Harvest the next recycle space from the combined space [U, Z].
+
+    The exact Arnoldi relation of the augmented method is
+    ``A [U, Z] = [C, V] G`` with ``G = [[I_k, B], [0, H]]``.  The new space
+    SPAN is the ``k`` smallest-singular-value right directions of ``G`` (the
+    SVD-deflation variant of GCRO-DR's harmonic Ritz extraction — a small
+    dense problem that stays on device; smallest singular directions are the
+    ones GMRES converges slowest on).  Inactive Arnoldi columns (j >= k_it)
+    and an invalid incoming U (valid=0) are excluded by score shifting.
+
+    Numerical shape: only the selected SPAN is taken from the small-matrix
+    algebra; the invariant ``C = A U`` (which the solution reconstruction
+    relies on directly — its error lands in the true residual) is re-bound
+    by explicit matvecs + QR.  Mapping U through ``G``'s tiny singular
+    values instead amplifies f32 SVD noise by 1/sigma_min and was measured
+    to destroy the invariant (|AU - C| ~ 0.2 at sigma_min ~ 1e-3).
+    """
+    dtype = rec.U.dtype
+    kr = rec.U.shape[0]
+    U, C = rec.U, rec.C
+
+    Gtop = jnp.concatenate(
+        [rec.valid * jnp.eye(kr, dtype=dtype), Bm.T], axis=1)  # (kr, kr+m)
+    Gbot = jnp.concatenate(
+        [jnp.zeros((m + 1, kr), dtype), Hm], axis=1)           # (m+1, kr+m)
+    G = jnp.concatenate([Gtop, Gbot], axis=0)                  # (kr+m+1, kr+m)
+
+    # exclude invalid columns: incoming-U cols when valid=0, Arnoldi cols
+    # past the active iteration count.  Small dense algebra runs at full
+    # f32 matmul precision: TPU f32 matrix-matrix products default to bf16
+    # MXU passes whose ~1e-3 error defeats the span selection (measured);
+    # these ops are tiny, the cost is nil.
+    col_invalid = jnp.concatenate([
+        jnp.full(kr, 1.0 - rec.valid, dtype),
+        (jnp.arange(m) >= k_it).astype(dtype)])
+    with jax.default_matmul_precision("highest"):
+        # smallest singular directions via eigh of the Gram matrix (jnp
+        # svd fails to lower under jit on the axon TPU backend; only the
+        # SPAN is needed, so the squared conditioning is harmless)
+        lam, Vecs = jnp.linalg.eigh(G.T @ G)                   # ascending
+        sig = jnp.sqrt(jnp.maximum(lam, 0.0))
+        scores = sig + 1e6 * ((Vecs.T ** 2) @ col_invalid)
+        _, idx = lax.top_k(-scores, kr)
+        W = Vecs[:, idx]                                       # (kr+m, kr)
+
+        UZ = jnp.concatenate([U, Z], axis=0)                   # (kr+m, n)
+        Ut = W.T @ UZ                                          # (kr, n)
+        # orthonormalize the span (1/sigma scale otherwise), re-bind C = A U
+        Qu, _ = jnp.linalg.qr(Ut.T)
+    cand = refresh_recycle(matvec, RecycleSpace(
+        U=Qu.T, C=jnp.zeros_like(Qu.T), valid=jnp.ones((), dtype)))
+
+    # keep the old space if this solve did too few iterations to harvest
+    # a full replacement
+    ok = k_it >= kr
+    return RecycleSpace(
+        U=jnp.where(ok, cand.U, U),
+        C=jnp.where(ok, cand.C, C),
+        valid=jnp.maximum(ok.astype(dtype), rec.valid))

@@ -87,6 +87,11 @@ class NonlinearSolver:
         ``w`` carried in the assembler (high) precision.  This collapses the
         ~6 host round-trips per nonlinear step of the plain path into one —
         the dominant cost at small problem sizes on a remote-attached TPU.
+
+        With ``config.krylov.recycle > 0`` the step becomes
+        ``step(w, rec) -> (w_new, |F|, iters, rn, rec_new)``: the GCRO-DR
+        recycle space is threaded through consecutive nonlinear steps
+        (seed with :meth:`initial_recycle`).
         """
         asm = self.asm
         n_u = self.n_u
@@ -96,20 +101,37 @@ class NonlinearSolver:
         p_active = asm.p_active.astype(dt_hi)
         n_p_real = float(asm.n1_real)
         ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
+        kr = self.oseen.config.krylov.recycle
 
-        def step(w):
+        def residual_of(w):
             u, p = w[:n_u], w[n_u:]
             ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi))
             ru = free_u * ru
             if encl:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
             F = jnp.concatenate([ru, rp])
-            rn_nl = jnp.linalg.norm(F)
+            return F, jnp.linalg.norm(F)
+
+        from ..runtime import lift_jit
+        if kr:
+            def step_rec(w, rec):
+                F, rn_nl = residual_of(w)
+                x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
+                return w + x, rn_nl, iters, rn_lin, rec
+            return lift_jit(step_rec, self.oseen._lift_roots)
+
+        def step(w):
+            F, rn_nl = residual_of(w)
             x, iters, rn_lin = ir(w[:n_u], -F)
             return w + x, rn_nl, iters, rn_lin
 
-        from ..runtime import lift_jit
         return lift_jit(step, self.oseen._lift_roots)
+
+    def initial_recycle(self):
+        """Empty GCRO-DR recycle space matching ``config.krylov.recycle``."""
+        from .krylov import empty_recycle
+        return empty_recycle(self.oseen.config.krylov.recycle, self.n,
+                             self.oseen.dtype)
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.n, dtype=self.oseen.dtype)
@@ -153,10 +175,12 @@ class NonlinearSolver:
         """
         t0 = time.perf_counter()
         dt_hi = jnp.dtype(self.asm.dtype)
+        kr = self.oseen.config.krylov.recycle
         if split_programs:
             res_fn = self.make_residual_hi()
         else:
             step = self.make_step_ir(rtol_lin=rtol_lin)
+            rec = self.initial_recycle() if kr else None
         w = (self.initial_state() if w0 is None else w0).astype(dt_hi)
         res_hist: List[float] = []
         it_hist: List[int] = []
@@ -165,6 +189,9 @@ class NonlinearSolver:
         for k in range(max_steps):
             if split_programs:
                 F, rn = res_fn(w)
+                rn = float(rn)
+            elif kr:
+                w_new, rn, iters, _, rec = step(w, rec)
                 rn = float(rn)
             else:
                 w_new, rn, iters, _ = step(w)

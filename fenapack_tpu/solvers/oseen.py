@@ -29,6 +29,7 @@ from .config import SolverConfig, SubsolveConfig
 from .pcd import make_pcd_apply
 from .fieldsplit import make_fieldsplit_upper
 from .krylov import fgmres, FGMRESResult
+from . import krylov as krylov_mod
 
 
 def _dtype_of(cfg: SolverConfig):
@@ -423,12 +424,25 @@ class OseenSolver:
         """
         dt_hi = jnp.dtype(self.asm.dtype)
         cfg = self.config
+        kr = cfg.krylov.recycle
 
-        def ir(wind, b):
+        def ir(wind, b, rec=None):
             wind_hi = wind.astype(dt_hi)
             A1h, Rh = self._operator_values_raw(wind_hi, hi=True)
             matvec_hi = self._matvec_factory(A1h, Rh, hi=True)
             matvec, pc = self._pipeline(wind.astype(self.dtype))
+            if cfg.krylov.hi_matvec:
+                # outer matvec at high precision (PC/Krylov algebra stay
+                # f32): raises the per-round attainable reduction
+                matvec = lambda x: matvec_hi(
+                    x.astype(dt_hi)).astype(self.dtype)
+            if kr:
+                if rec is None:
+                    rec = krylov_mod.empty_recycle(kr, b.shape[0],
+                                                   self.dtype)
+                # the operator changed since the recycle space was built
+                # (previous nonlinear step / time step): re-bind C = A U
+                rec = krylov_mod.refresh_recycle(matvec, rec)
 
             b_hi = b.astype(dt_hi)
             bnorm = jnp.linalg.norm(b_hi)
@@ -436,30 +450,56 @@ class OseenSolver:
             x0 = jnp.zeros_like(b_hi)
 
             # carry holds the TRUE residual (r, rn) of the current x, so
-            # termination is exact and no correction is wasted
+            # termination is exact and no correction is wasted.  ``att`` is
+            # the believed per-round attainable true-residual reduction
+            # (config prior, raised online whenever a round falls well
+            # short of its target — evidence of larger estimate drift).
+            att0 = jnp.asarray(cfg.krylov.ir_attainable, dt_hi)
+            safety = cfg.krylov.ir_safety
+
             def cond(c):
-                k, x, r, rn, total = c
+                k, x, r, rn, att, total, rec = c
                 return jnp.logical_and(k < max_rounds, rn > tol)
 
             def body(c):
-                k, x, r, rn, total = c
+                k, x, r, rn, att, total, rec = c
                 scale = jnp.where(rn > 0, rn, 1.0)
-                # adaptive inner tolerance: only the reduction still needed
-                # (floored at the f32-attainable cfg tolerance) — the final
-                # round stops early instead of over-solving.  Cap at 1e-2:
-                # a loose round whose estimate drifts from the true residual
-                # costs an extra full round (measured: net loss above 1e-2)
-                rtol_k = jnp.clip(tol / scale, cfg.krylov.rtol, 1e-2)
-                res = fgmres(matvec, pc, (r / scale).astype(self.dtype),
-                             maxiter=cfg.krylov.maxiter,
-                             rtol=rtol_k.astype(self.dtype))
+                # schedule: split the remaining TRUE reduction evenly over
+                # the minimum number of rounds a single round's attainable
+                # accuracy allows — a lopsided split either over-solves
+                # (estimate grinds below the true-residual stall) or misses
+                # by a hair and pays a whole extra round.
+                needed = jnp.clip(tol / scale, 1e-30, 1.0)
+                n_r = jnp.maximum(jnp.ceil(jnp.log(needed)
+                                           / jnp.log(att)), 1.0)
+                target = jnp.exp(jnp.log(needed) / n_r)
+                # estimate target undershoots the true target (drift margin);
+                # floored at the est-attainable cfg tolerance, capped at 1e-2
+                rtol_k = jnp.clip(target * safety, cfg.krylov.rtol, 1e-2)
+                rhs = (r / scale).astype(self.dtype)
+                if kr:
+                    res, rec = krylov_mod.fgmres_dr(
+                        matvec, pc, rhs, rec, maxiter=cfg.krylov.maxiter,
+                        rtol=rtol_k.astype(self.dtype))
+                else:
+                    res = fgmres(matvec, pc, rhs,
+                                 maxiter=cfg.krylov.maxiter,
+                                 rtol=rtol_k.astype(self.dtype))
                 x = x + scale * res.x.astype(dt_hi)
                 r = b_hi - matvec_hi(x)
-                return (k + 1, x, r, jnp.linalg.norm(r), total + res.iters)
+                rn_new = jnp.linalg.norm(r)
+                achieved = rn_new / scale
+                # fell well short of the round target => the stall level is
+                # higher than believed; adopt it (with margin) for the rest
+                att = jnp.where(achieved > 4.0 * target,
+                                jnp.maximum(att, 1.5 * achieved), att)
+                return (k + 1, x, r, rn_new, att, total + res.iters, rec)
 
-            k, x, r, rn, total = jax.lax.while_loop(
+            k, x, r, rn, att, total, rec = jax.lax.while_loop(
                 cond, body, (jnp.array(0, jnp.int32), x0, b_hi, bnorm,
-                             jnp.array(0, jnp.int32)))
+                             att0, jnp.array(0, jnp.int32), rec))
+            if kr:
+                return x, total, rn, rec
             return x, total, rn
 
         # _jit=False for callers composing ir into a larger lifted jit
