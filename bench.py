@@ -95,6 +95,17 @@ def build(level: int, variant: str, ls: str = "direct",
         v_h = gmg.VelocityHierarchy(hier, 0.02, jnp.float32,
                                     bc_markers=[meshmod.WALL, meshmod.INFLOW],
                                     fine_asm=asm, block_size=block_size)
+    # free-form experiment overrides: BENCH_OVER='velocity.cycles=3,...'
+    for kv in filter(None, os.environ.get("BENCH_OVER", "").split(",")):
+        k, _, v = kv.partition("=")
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                v = {"true": True, "false": False}.get(v, v)
+        over[k.strip()] = v
     cfg = overrides(SolverConfig(), over)
     return NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ap_h,
                            velocity_hierarchy=v_h)

@@ -120,6 +120,8 @@ class NSAssembler:
         u_act = np.zeros(d * self.n2)
         for a in range(d):
             u_act[a * self.n2:a * self.n2 + self.n2_real] = 1.0
+        self._p_active_np = p_act
+        self._u_active_np = u_act
         self.p_active = jnp.asarray(p_act, dtype=dtype)
         self.u_active = jnp.asarray(u_act, dtype=dtype)
 
@@ -171,8 +173,10 @@ class NSAssembler:
             adet = np.concatenate([adet, np.zeros(nc_pad)])
         self.nc = nc + nc_pad
 
-        self.cd2 = jnp.asarray(_pad_rows(cd2, nc_pad))
-        self.cd1 = jnp.asarray(_pad_rows(cd1, nc_pad))
+        self._cd2_np = _pad_rows(cd2, nc_pad)
+        self._cd1_np = _pad_rows(cd1, nc_pad)
+        self.cd2 = jnp.asarray(self._cd2_np)
+        self.cd1 = jnp.asarray(self._cd1_np)
         # cell diameters (max edge length) for SUPG; 0 on phantom cells
         e = np.linalg.norm(v - np.roll(v, 1, axis=1), axis=2).max(axis=1)
         self.h_cell = jnp.asarray(np.concatenate([e, np.zeros(nc_pad)]),
@@ -293,8 +297,10 @@ class NSAssembler:
         self.f_phi1 = jnp.asarray(p1.reshape(nf, ntq, -1), dtype=dt)
         self.f_wlen = jnp.asarray(measure[:, None] * wq[None, :], dtype=dt)
         self.f_normals = jnp.asarray(normals, dtype=dt)
-        cd2np = np.asarray(self.cd2)
-        cd1np = np.asarray(self.cd1)
+        # host copies: a device->host fetch here costs O(100 s) through the
+        # remote-attached (axon tunnel) TPU at 3D scale
+        cd2np = self._cd2_np
+        cd1np = self._cd1_np
         self.f_cd2 = jnp.asarray(cd2np[fcells])
         f_cd1 = cd1np[fcells]
         self.f_cd1 = jnp.asarray(f_cd1)

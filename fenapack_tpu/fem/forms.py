@@ -363,8 +363,10 @@ class FormCompiler:
         self.phi1 = jnp.asarray(phi1, dt)
         self.dphi2 = jnp.asarray(dphi2, dt)
         self.dphi1 = jnp.asarray(dphi1, dt)
-        self.cd2 = jnp.asarray(W.V.cell_dofs.astype(np.int32))
-        self.cd1 = jnp.asarray(W.Q.cell_dofs.astype(np.int32))
+        self._cd2_np = W.V.cell_dofs.astype(np.int32)
+        self._cd1_np = W.Q.cell_dofs.astype(np.int32)
+        self.cd2 = jnp.asarray(self._cd2_np)
+        self.cd1 = jnp.asarray(self._cd1_np)
         self._facet_tabs: Dict[int, dict] = {}
 
         # block dof layouts (vector velocity dofs stacked per component)
@@ -425,8 +427,9 @@ class FormCompiler:
         p2, dp2 = basis2(flat)
         p1, dp1 = basis1(flat)
         dt = self.dtype
-        cd2np = np.asarray(self.cd2)
-        cd1np = np.asarray(self.cd1)
+        # host copies: device->host fetches cost O(100 s) via the axon tunnel
+        cd2np = self._cd2_np
+        cd1np = self._cd1_np
         tab = dict(
             nf=nf, ntq=ntq,
             phi2=jnp.asarray(p2.reshape(nf, ntq, -1), dt),

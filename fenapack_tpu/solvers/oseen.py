@@ -75,7 +75,10 @@ class OseenSolver:
 
         bc_mask_u, bc_vals_u = merge_bcs(bcs, self.n_u)
         # alignment-padding velocity dofs are pinned to identity rows
-        self.u_pad = 1.0 - np.asarray(asm.u_active)
+        # host copies: device->host fetches cost O(100 s) via the axon tunnel
+        u_act = (asm._u_active_np if hasattr(asm, "_u_active_np")
+                 else np.asarray(asm.u_active))
+        self.u_pad = 1.0 - u_act
         bc_mask_u = np.maximum(bc_mask_u, self.u_pad)
         self.bc_mask_u = jnp.asarray(bc_mask_u, dtype=dt)
         self.bc_vals_u = jnp.asarray(bc_vals_u, dtype=dt)
@@ -91,7 +94,8 @@ class OseenSolver:
         self.has_pcd_bcs = pcd_dofs.shape[0] > 0
         self.pcd_mask = jnp.asarray(mask_p, dtype=dt) if self.has_pcd_bcs else None
         # padded pressure dofs are pinned inside every pressure subsolve
-        p_pad = 1.0 - np.asarray(asm.p_active)
+        p_pad = (1.0 - asm._p_active_np if hasattr(asm, '_p_active_np')
+                 else 1.0 - np.asarray(asm.p_active))
         self.has_p_pad = bool(p_pad.any())
         self.p_pad = jnp.asarray(p_pad, dtype=dt) if self.has_p_pad else None
 
