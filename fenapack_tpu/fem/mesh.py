@@ -117,8 +117,11 @@ def _build_topology(vertices: np.ndarray, cells: np.ndarray) -> TriMesh:
 
     # local edge k opposite local vertex k
     ev = np.stack([cells[:, [1, 2]], cells[:, [0, 2]], cells[:, [0, 1]]], axis=1)  # (nc,3,2)
-    ev_sorted = np.sort(ev, axis=2).reshape(-1, 2)
-    edges, inverse = np.unique(ev_sorted, axis=0, return_inverse=True)
+    ev_sorted = np.sort(ev, axis=2).reshape(-1, 2).astype(np.int64)
+    from ..native import unique_i64
+    nv64 = np.int64(vertices.shape[0])
+    ekeys, inverse = unique_i64(ev_sorted[:, 0] * nv64 + ev_sorted[:, 1])
+    edges = np.stack([ekeys // nv64, ekeys % nv64], axis=1)
     cell_edges = inverse.reshape(-1, 3).astype(np.int32)
 
     # boundary = edges referenced exactly once

@@ -99,19 +99,31 @@ def _build_topology(vertices: np.ndarray, cells: np.ndarray) -> TetMesh:
     flip = det < 0
     cells[flip] = cells[flip][:, [0, 1, 3, 2]]
 
-    # edges
+    # edges (packed-key unique: np.unique(axis=0) pays a void-dtype
+    # comparison sort — the native radix path is ~10x faster at scale)
+    from ..native import unique_i64
+    nv64 = np.int64(vertices.shape[0])
     le = TetMesh.LOCAL_EDGES
     ev = cells[:, le]                               # (nc, 6, 2)
-    ev_sorted = np.sort(ev, axis=2).reshape(-1, 2)
-    edges, e_inv = np.unique(ev_sorted, axis=0, return_inverse=True)
+    ev_sorted = np.sort(ev, axis=2).reshape(-1, 2).astype(np.int64)
+    ekeys, e_inv = unique_i64(ev_sorted[:, 0] * nv64 + ev_sorted[:, 1])
+    edges = np.stack([ekeys // nv64, ekeys % nv64], axis=1)
     cell_edges = e_inv.reshape(-1, 6).astype(np.int32)
 
     # faces: local face k opposite local vertex k
     lf = np.array([(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)])
     fv = cells[:, lf]                               # (nc, 4, 3)
-    fv_sorted = np.sort(fv, axis=2).reshape(-1, 3)
-    faces, f_inv, f_counts = np.unique(fv_sorted, axis=0, return_inverse=True,
-                                       return_counts=True)
+    fv_sorted = np.sort(fv, axis=2).reshape(-1, 3).astype(np.int64)
+    if nv64 ** 3 < 2 ** 62:             # packed triple fits in int64
+        fkeys, f_inv = unique_i64(
+            (fv_sorted[:, 0] * nv64 + fv_sorted[:, 1]) * nv64
+            + fv_sorted[:, 2])
+        faces = np.stack([fkeys // (nv64 * nv64), (fkeys // nv64) % nv64,
+                          fkeys % nv64], axis=1)
+        f_counts = np.bincount(f_inv, minlength=fkeys.shape[0])
+    else:
+        faces, f_inv, f_counts = np.unique(
+            fv_sorted, axis=0, return_inverse=True, return_counts=True)
     boundary = np.where(f_counts == 1)[0]
     face_to_cell = np.full(faces.shape[0], -1, dtype=np.int32)
     flat_cells = np.repeat(np.arange(cells.shape[0], dtype=np.int32), 4)
@@ -238,14 +250,22 @@ def _propagate_markers3d(coarse: TetMesh, fine: TetMesh,
     of the 4 sub-triangles of a coarse boundary face, and the union of its
     vertices' parents is exactly that coarse face's vertex triple."""
     pu = parents[fine.boundary_faces]                 # (nbf_f, 3, 2)
-    tri = np.sort(pu.reshape(pu.shape[0], -1), axis=1)
-    # unique-ify the 6 parent ids down to 3 (each appears twice or the
-    # vertex is a surviving corner listed twice)
-    keys_f = np.zeros((tri.shape[0], 3), dtype=np.int64)
-    for i in range(tri.shape[0]):
-        u = np.unique(tri[i])
-        keys_f[i] = u if u.shape[0] == 3 else np.pad(u, (0, 3 - u.shape[0]),
-                                                     constant_values=u[-1])
+    tri = np.sort(pu.reshape(pu.shape[0], -1), axis=1).astype(np.int64)
+    # unique-ify the 6 sorted parent ids down to <=3 per row, vectorized
+    # (the old per-row np.unique Python loop cost minutes at 3D scale):
+    # keep each value's first occurrence, left-compact via argsort of the
+    # keep mask (stable), pad with the row's last kept value.
+    keep = np.ones_like(tri, dtype=bool)
+    keep[:, 1:] = tri[:, 1:] != tri[:, :-1]
+    # stable order: kept entries first, original order preserved
+    order = np.argsort(~keep, axis=1, kind="stable")
+    compact = np.take_along_axis(tri, order, axis=1)
+    nkeep = keep.sum(axis=1)
+    keys_f = compact[:, :3]
+    # rows with fewer than 3 distinct parents: pad with the last distinct
+    pad_val = np.take_along_axis(compact, (nkeep - 1)[:, None], axis=1)
+    col = np.arange(3)[None, :]
+    keys_f = np.where(col < nkeep[:, None], keys_f, pad_val)
     nvc = coarse.num_vertices
     key_f = (keys_f[:, 0] * nvc + keys_f[:, 1]) * nvc + keys_f[:, 2]
     cf = np.sort(coarse.boundary_faces, axis=1).astype(np.int64)

@@ -138,10 +138,15 @@ def masked_spd_solver_dense(ell: ELL, pattern, bc_mask: np.ndarray,
     the PCD apply this acts as the pseudo-inverse — the analogue of
     attaching a PETSc constant nullspace to the Ap KSP.
     """
-    A = pattern.to_scipy(ell).toarray()
-    free = 1.0 - np.asarray(bc_mask)
-    A = free[:, None] * A * free[None, :] + np.diag(np.asarray(bc_mask))
+    dt = dtype or ell.vals.dtype
+    # built ON DEVICE (pattern.to_dense scatter): exporting the operator via
+    # scipy would fetch device values — the first device->host transfer in a
+    # process costs 30-500 s through the remote-attached TPU tunnel
+    A = pattern.to_dense(ell.vals).astype(dt)
+    bc = jnp.asarray(bc_mask, dt)    # device or host mask, no fetch
+    free = 1.0 - bc
+    A = free[:, None] * A * free[None, :] + jnp.diag(bc)
     if nullspace:
-        n_free = max(float(free.sum()), 1.0)
-        A = A + np.outer(free, free) / n_free
-    return dense_lu_solver(jnp.asarray(A, dtype=dtype or ell.vals.dtype))
+        n_free = jnp.maximum(jnp.sum(free), 1.0)
+        A = A + jnp.outer(free, free) / n_free
+    return dense_lu_solver(A)

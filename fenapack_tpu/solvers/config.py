@@ -53,6 +53,14 @@ class KrylovConfig:
     # reduction, cutting IR rounds.  Cost: one emulated-f64 SpMV per
     # iteration (small vs the GMG preconditioner apply).
     hi_matvec: bool = False
+    # run the ENTIRE outer FGMRES algebra (Krylov basis, CGS2, Givens,
+    # residual estimate) in f64 with only the preconditioner apply in
+    # compute precision: the residual estimate is then trusted to 1e-8
+    # directly, collapsing mixed-precision IR to a single round — measured
+    # to restore exact-solve (oracle) outer iteration counts that the f32
+    # estimate floor otherwise inflates by ~15%.  Cost: emulated-f64 SpMV +
+    # basis algebra per iteration.
+    hi_krylov: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

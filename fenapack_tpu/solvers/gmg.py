@@ -236,16 +236,15 @@ def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
         masks.append(mask)
 
     asm0, Ap0, mask0 = hierarchy.levels[0]
-    bc0 = (np.asarray(mask0) if mask0 is not None
-           else np.zeros(Ap0.shape[0]))
+    # dense coarse operator built ON DEVICE (a scipy export would fetch
+    # device values: the first d2h transfer costs 30-500 s via the tunnel)
     if mask0 is None:
         # enclosed flow: regularize the singular coarse Neumann operator
-        import scipy.sparse as sp
-        A = asm0.pat_p1.to_scipy(Ap0).toarray()
-        A = A + np.full_like(A, 1.0 / A.shape[0])   # rank-1 constant shift
-        coarse = subsolve.dense_lu_solver(jnp.asarray(A, dtype=dtype))
+        A = asm0.pat_p1.to_dense(Ap0.vals).astype(dtype)
+        A = A + 1.0 / A.shape[0]                    # rank-1 constant shift
+        coarse = subsolve.dense_lu_solver(A)
     else:
-        coarse = subsolve.masked_spd_solver_dense(Ap0, asm0.pat_p1, bc0,
+        coarse = subsolve.masked_spd_solver_dense(Ap0, asm0.pat_p1, mask0,
                                                   dtype)
 
     vcycle = make_vcycle(matvecs, dinvs, hierarchy.transfers, coarse, masks,

@@ -130,8 +130,10 @@ class NonlinearSolver:
     def initial_recycle(self):
         """Empty GCRO-DR recycle space matching ``config.krylov.recycle``."""
         from .krylov import empty_recycle
-        return empty_recycle(self.oseen.config.krylov.recycle, self.n,
-                             self.oseen.dtype)
+        kcfg = self.oseen.config.krylov
+        dt = (jnp.dtype(self.asm.dtype) if kcfg.hi_krylov
+              else self.oseen.dtype)
+        return empty_recycle(kcfg.recycle, self.n, dt)
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.n, dtype=self.oseen.dtype)

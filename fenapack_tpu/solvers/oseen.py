@@ -153,7 +153,7 @@ class OseenSolver:
         """
         dt = self.dtype
         if cfg.method == "lu":
-            bc = np.zeros(ell.shape[0]) if mask is None else np.asarray(mask)
+            bc = jnp.zeros(ell.shape[0], dt) if mask is None else mask
             solve = subsolve.masked_spd_solver_dense(ell, pattern, bc, dt,
                                                      nullspace=nullspace)
             self._lift_refs.append(solve._holder)
@@ -435,6 +435,24 @@ class OseenSolver:
             A1h, Rh = self._operator_values_raw(wind_hi, hi=True)
             matvec_hi = self._matvec_factory(A1h, Rh, hi=True)
             matvec, pc = self._pipeline(wind.astype(self.dtype))
+            if cfg.krylov.hi_krylov:
+                # single-round f64 FGMRES with the f32 preconditioner
+                pc_hi = lambda r: pc(r.astype(self.dtype)).astype(dt_hi)
+                b64 = b.astype(dt_hi)
+                if kr:
+                    if rec is None:
+                        rec = krylov_mod.empty_recycle(kr, b.shape[0], dt_hi)
+                    rec = krylov_mod.refresh_recycle(matvec_hi, rec)
+                    res, rec = krylov_mod.fgmres_dr(
+                        matvec_hi, pc_hi, b64, rec,
+                        maxiter=cfg.krylov.maxiter, rtol=rtol)
+                else:
+                    res = fgmres(matvec_hi, pc_hi, b64,
+                                 maxiter=cfg.krylov.maxiter, rtol=rtol)
+                rn = jnp.linalg.norm(b64 - matvec_hi(res.x))
+                if kr:
+                    return res.x, res.iters, rn, rec
+                return res.x, res.iters, rn
             if cfg.krylov.hi_matvec:
                 # outer matvec at high precision (PC/Krylov algebra stay
                 # f32): raises the per-round attainable reduction
