@@ -29,7 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.8
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.sparse import ELL
 
@@ -242,7 +245,11 @@ def _fgmres_local(matvec_local, pc_local, b_loc, *, maxiter: int,
     # mark the (all-zero) initial Z as device-varying: the while_loop body
     # writes shard-local pc outputs into it, and shard_map's vma type check
     # requires carry in/out agreement
-    Z = jax.lax.pvary(jnp.zeros((m, n_loc), dtype), (axis,))
+    _pvary = getattr(jax.lax, "pcast", None)
+    if _pvary is not None:              # jax >= 0.8
+        Z = _pvary(jnp.zeros((m, n_loc), dtype), (axis,), to="varying")
+    else:                               # pragma: no cover - older jax
+        Z = jax.lax.pvary(jnp.zeros((m, n_loc), dtype), (axis,))
     R = jnp.zeros((m, m), dtype)
     cs = jnp.ones(m, dtype)
     sn = jnp.zeros(m, dtype)
