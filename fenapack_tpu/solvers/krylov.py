@@ -63,23 +63,52 @@ def empty_recycle(k: int, n: int, dtype) -> RecycleSpace:
                         valid=jnp.zeros((), dtype))
 
 
-def refresh_recycle(matvec: Callable, rec: RecycleSpace) -> RecycleSpace:
+def refresh_recycle(matvec: Callable, rec: RecycleSpace,
+                    factor_dtype=None) -> RecycleSpace:
     """Re-bind a recycle space to a NEW operator: recompute C = A U and
     re-orthonormalize (QR), folding the triangular factor into U so the
-    invariant ``C = A U, C C^T = I`` holds for the new matrix."""
+    invariant ``C = A U, C C^T = I`` holds for the new matrix.
+
+    ``factor_dtype`` runs the tall QR factorization in a lower precision
+    (the f64 QR/eigh lowerings stall the axon TPU compile service).  The
+    f32 factor is then only a BASIS TRANSFORM: C is re-bound as
+    ``R^{-T} (A U)`` in full precision (so ``C = A U`` holds to working
+    precision regardless of the factor's accuracy) and its residual
+    non-orthonormality — O(f32) — is repaired by one Cholesky refinement
+    of the small Gram matrix, also in full precision.
+    """
     k, n = rec.U.shape
+    dt = rec.U.dtype
+    fdt = factor_dtype or dt
     with jax.default_matmul_precision("highest"):
         # NOTE the vmapped SpMV becomes a batched contraction that XLA may
         # route through bf16 MXU passes at default precision — a 4e-3
         # relative error in C = A U silently defeats the whole deflation
         Cp = jax.vmap(matvec)(rec.U)                 # (k, n)
-        Q, R = jnp.linalg.qr(Cp.T)                   # (n,k), (k,k)
-    Rg = R + jnp.diag(_diag_guard(R))
-    # U_new^T = U^T R^{-1}  =>  U_new = R^{-T} U
-    U_new = jax.scipy.linalg.solve_triangular(Rg.T, rec.U, lower=True)
+        if fdt == dt:
+            Q, R = jnp.linalg.qr(Cp.T)               # (n,k), (k,k)
+            Rg = R + jnp.diag(_diag_guard(R))
+            U_new = jax.scipy.linalg.solve_triangular(Rg.T, rec.U,
+                                                      lower=True)
+            C_new = Q.T
+        else:
+            _, R32 = jnp.linalg.qr(Cp.T.astype(fdt))
+            R = R32.astype(dt)
+            Rg = R + jnp.diag(_diag_guard(R))
+            # exact-precision re-binding through the approximate factor:
+            # rows U1 = R^{-T} U, C1 = R^{-T} Cp  =>  C1 = A U1 exactly
+            U1 = jax.scipy.linalg.solve_triangular(Rg.T, rec.U, lower=True)
+            C1 = jax.scipy.linalg.solve_triangular(Rg.T, Cp, lower=True)
+            # Cholesky refinement: C1 C1^T = I + O(f32); fold L^{-1} into
+            # both so orthonormality AND the invariant hold in precision dt
+            S = C1 @ C1.T + jnp.diag(
+                jnp.where(rec.valid > 0, 0.0, 1.0) * jnp.ones(k, dt))
+            L = jnp.linalg.cholesky(S)
+            U_new = jax.scipy.linalg.solve_triangular(L, U1, lower=True)
+            C_new = jax.scipy.linalg.solve_triangular(L, C1, lower=True)
     ok = rec.valid > 0
     return RecycleSpace(U=jnp.where(ok, U_new, 0.0),
-                        C=jnp.where(ok, Q.T, 0.0),
+                        C=jnp.where(ok, C_new, 0.0),
                         valid=rec.valid)
 
 
@@ -106,7 +135,8 @@ def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
 
 def fgmres_dr(matvec: Callable, pc: Callable, b: jnp.ndarray,
               rec: RecycleSpace, x0: Optional[jnp.ndarray] = None, *,
-              maxiter: int = 100, rtol: float = 1e-8, atol: float = 0.0):
+              maxiter: int = 100, rtol: float = 1e-8, atol: float = 0.0,
+              factor_dtype=None):
     """Deflated-recycling FGMRES (GCRO-DR flavor, Parks et al. 2006).
 
     Solves with the Krylov space augmented by ``rec`` (deflating the slow
@@ -116,11 +146,12 @@ def fgmres_dr(matvec: Callable, pc: Callable, b: jnp.ndarray,
     directions that dominate the iteration count next time.  The caller must
     :func:`refresh_recycle` when the operator changes between solves.
     """
-    return _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, rec)
+    return _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, rec,
+                        factor_dtype=factor_dtype)
 
 
 def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
-                 rec: Optional[RecycleSpace]):
+                 rec: Optional[RecycleSpace], factor_dtype=None):
     n = b.shape[0]
     dtype = b.dtype
     m = maxiter
@@ -250,7 +281,8 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
         for _ in range(2):
             rt = b - matvec(x)
             x = x + U.T @ (C @ rt)
-        rec_new = _deflation_update(matvec, rec, V, Z, Bm, Hm, k, m)
+        rec_new = _deflation_update(matvec, rec, V, Z, Bm, Hm, k, m,
+                                    factor_dtype=factor_dtype)
 
     # pad history tail with the final residual for clean semantics
     idx = jnp.minimum(jnp.arange(m + 1), k)
@@ -259,7 +291,8 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
                         bnorm=bnorm), rec_new
 
 
-def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m):
+def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m,
+                      factor_dtype=None):
     """Harvest the next recycle space from the combined space [U, Z].
 
     The exact Arnoldi relation of the augmented method is
@@ -295,12 +328,16 @@ def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m):
     col_invalid = jnp.concatenate([
         jnp.full(kr, 1.0 - rec.valid, dtype),
         (jnp.arange(m) >= k_it).astype(dtype)])
+    fdt = factor_dtype or dtype
     with jax.default_matmul_precision("highest"):
         # smallest singular directions via eigh of the Gram matrix (jnp
         # svd fails to lower under jit on the axon TPU backend; only the
-        # SPAN is needed, so the squared conditioning is harmless)
-        lam, Vecs = jnp.linalg.eigh(G.T @ G)                   # ascending
-        sig = jnp.sqrt(jnp.maximum(lam, 0.0))
+        # SPAN is needed, so the squared conditioning is harmless).  The
+        # factorizations run in ``factor_dtype`` (span quality only — the
+        # invariant C = A U is re-bound below at full precision)
+        lam, Vecs = jnp.linalg.eigh((G.T @ G).astype(fdt))     # ascending
+        Vecs = Vecs.astype(dtype)
+        sig = jnp.sqrt(jnp.maximum(lam, 0.0)).astype(dtype)
         scores = sig + 1e6 * ((Vecs.T ** 2) @ col_invalid)
         _, idx = lax.top_k(-scores, kr)
         W = Vecs[:, idx]                                       # (kr+m, kr)
@@ -308,9 +345,11 @@ def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m):
         UZ = jnp.concatenate([U, Z], axis=0)                   # (kr+m, n)
         Ut = W.T @ UZ                                          # (kr, n)
         # orthonormalize the span (1/sigma scale otherwise), re-bind C = A U
-        Qu, _ = jnp.linalg.qr(Ut.T)
+        Qu, _ = jnp.linalg.qr(Ut.T.astype(fdt))
+        Qu = Qu.astype(dtype)
     cand = refresh_recycle(matvec, RecycleSpace(
-        U=Qu.T, C=jnp.zeros_like(Qu.T), valid=jnp.ones((), dtype)))
+        U=Qu.T, C=jnp.zeros_like(Qu.T), valid=jnp.ones((), dtype)),
+        factor_dtype=factor_dtype)
 
     # keep the old space if this solve did too few iterations to harvest
     # a full replacement

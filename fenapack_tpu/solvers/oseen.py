@@ -442,10 +442,14 @@ class OseenSolver:
                 if kr:
                     if rec is None:
                         rec = krylov_mod.empty_recycle(kr, b.shape[0], dt_hi)
-                    rec = krylov_mod.refresh_recycle(matvec_hi, rec)
+                    # factorizations in compute precision: f64 QR/eigh
+                    # lowerings stall the axon TPU compile service
+                    rec = krylov_mod.refresh_recycle(
+                        matvec_hi, rec, factor_dtype=self.dtype)
                     res, rec = krylov_mod.fgmres_dr(
                         matvec_hi, pc_hi, b64, rec,
-                        maxiter=cfg.krylov.maxiter, rtol=rtol)
+                        maxiter=cfg.krylov.maxiter, rtol=rtol,
+                        factor_dtype=self.dtype)
                 else:
                     res = fgmres(matvec_hi, pc_hi, b64,
                                  maxiter=cfg.krylov.maxiter, rtol=rtol)
