@@ -43,6 +43,10 @@ from fenapack_tpu.ops.sparse import ELL
 
 def build(level: int, variant: str, ls: str = "direct",
           block_size=None):
+    # hi_krylov (f64 outer FGMRES, f32 preconditioner) is the production
+    # default: single-round solves at oracle-parity iteration counts
+    # (BENCH_HIK=0 selects the 2-round f32 IR mode)
+    hik = os.environ.get("BENCH_HIK", "1") == "1"
     if ls == "iterative":
         from fenapack_tpu.solvers import gmg
         hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), level)
@@ -52,7 +56,8 @@ def build(level: int, variant: str, ls: str = "direct",
     # GMG transfers need natural ordering; block tiles help either way
     asm = NSAssembler(mesh, 0.02, dtype=jnp.float64, block_size=block_size,
                       reorder=(block_size is not None and ls != "iterative"),
-                      block_dtype=jnp.float32 if block_size else None)
+                      block_dtype=jnp.float32 if block_size else None,
+                      hi_block=(hik and block_size is not None))
 
     def inflow(x):
         v = np.zeros((x.shape[0], 2))
@@ -65,6 +70,7 @@ def build(level: int, variant: str, ls: str = "direct",
     over = {
         "dtype": "float32",
         "pcd.variant": variant,
+        "krylov.hi_krylov": hik,
         "krylov.rtol": 2e-6,          # inner IR correction tolerance
         "krylov.maxiter": 80,
         # GCRO-DR recycling: net win once refresh_recycle's batched SpMV is

@@ -96,7 +96,8 @@ class NSAssembler:
     def __init__(self, mesh, nu: float, dtype=jnp.float64,
                  quad_degree: int = 5, inflow_marker: int = INFLOW,
                  row_align: int = 1, block_size: Optional[int] = None,
-                 reorder: Optional[bool] = None, block_dtype=None):
+                 reorder: Optional[bool] = None, block_dtype=None,
+                 hi_block: bool = False):
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
@@ -210,10 +211,15 @@ class NSAssembler:
 
         self.pat_p2, self.pat_p1, self.pat_div, self.pat_divT = \
             build_patterns(bs)
-        if bs:
+        if bs and not hi_block:
             (self.pat_p2_hi, self.pat_p1_hi, self.pat_div_hi,
              self.pat_divT_hi) = build_patterns(None)
         else:
+            # hi_block: f64 operators share the BLOCK layout — the f64 ELL
+            # gather SpMV is ~12x slower than the block-tile path (measured
+            # 9.2 ms vs 0.8 ms at 26k dofs) and dominates hi_krylov outer
+            # iterations; the f64 block fill-in is affordable at 2D scale
+            # (opt-in: it exhausts HBM at 3D scale)
             self.pat_p2_hi, self.pat_p1_hi = self.pat_p2, self.pat_p1
             self.pat_div_hi, self.pat_divT_hi = self.pat_div, self.pat_divT
 
