@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--ls", choices=["direct", "iterative"], default="direct")
     ap.add_argument("--supg", action="store_true",
                     help="SUPG-stabilized velocity PC block (high Re)")
+    ap.add_argument("--supg-system", action="store_true",
+                    help="SUPG-stabilize the SYSTEM (residual + operator): "
+                         "required beyond Re ~ 1000 (BASELINE config 5)")
     ap.add_argument("--rtol", type=float, default=1e-5,
                     help="nonlinear relative tolerance")
     ap.add_argument("--krylov-rtol", type=float, default=1e-8)
@@ -80,7 +83,8 @@ def main():
                DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
 
         over = {"pcd.variant": args.pcd, "dtype": dtype,
-                "krylov.rtol": args.krylov_rtol, "jpc_supg": args.supg}
+                "krylov.rtol": args.krylov_rtol, "jpc_supg": args.supg,
+                "system_supg": args.supg_system}
         if args.ls == "iterative":
             over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
                          "velocity.cycles": 2, "pcd.ap.method": "gmg"})

@@ -446,7 +446,7 @@ class NSAssembler:
             vals = flat.reshape(vals.shape)
         return vals
 
-    def supg_values(self, u: jnp.ndarray) -> jnp.ndarray:
+    def supg_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
         """Streamline-diffusion (SUPG) stabilization element values.
 
         TPU-native counterpart of
@@ -469,7 +469,7 @@ class NSAssembler:
         s = jnp.einsum("cqd,ckd->cqk", uq, self.Jinv)
         wg = jnp.einsum("cqk,qik->cqi", s, self.dphi2)
         elem = jnp.einsum("cq,cq,cqi,cqj->cij", self.wdet, delta, wg, wg)
-        return self.pat_p2.assemble_values(elem)
+        return self._pats(hi)[0].assemble_values(elem)
 
     # ------------------------------------------------------------------ #
     def picard_matrix_values(self, u: jnp.ndarray,
@@ -480,12 +480,23 @@ class NSAssembler:
         return self.nu * L.vals.astype(conv.dtype) + conv
 
     def residual(self, u: jnp.ndarray, p: jnp.ndarray,
-                 hi: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 hi: bool = True, supg: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Steady NS residual F(w) with zero body force, natural outflow:
         ``ru_a = A1(u) u_a + DT_a p``, ``rp = sum_a D_a u_a``
         (BC masking applied by caller).  ``hi`` selects the high-precision
-        ELL operators (the residual drives nonlinear/IR convergence)."""
-        A1 = self._pats(hi)[0].matrix(self.picard_matrix_values(u, hi=hi))
+        ELL operators (the residual drives nonlinear/IR convergence).
+
+        ``supg=True`` evaluates the SUPG-STABILIZED residual: the momentum
+        rows gain ``delta (u.grad v)(u.grad u)`` — the system-operator
+        stabilization of BASELINE config 5 (without it the Galerkin system
+        at cell-Peclet >> 1 is oscillatory and outer Krylov stalls at any
+        subsolve quality; measured at Re=2000, level 1-2).  The Picard
+        operator lags the same term (consistent linearization)."""
+        A1vals = self.picard_matrix_values(u, hi=hi)
+        if supg:
+            A1vals = A1vals + self.supg_values(u, hi=hi).astype(A1vals.dtype)
+        A1 = self._pats(hi)[0].matrix(A1vals)
         comps = self.split_u(u)
         c = self.const_hi if hi else self.const
         ru = jnp.concatenate([A1.mv(comps[a]) + c.DT[a].mv(p)

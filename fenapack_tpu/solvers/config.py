@@ -27,6 +27,10 @@ class SubsolveConfig:
     # gmg knobs
     smooth_iters: int = 2
     cycles: int = 1
+    # gmg smoother: "jacobi" (SPD) | "minres" (nonsymmetric level operators
+    # — required for the velocity block beyond Re ~ 1000, where damped
+    # Jacobi diverges on convection-dominated levels)
+    smoother: str = "jacobi"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +87,11 @@ class SolverConfig:
     # operator (the reference demo's separate J_pc form with
     # StabilizationParameterSD); the system operator stays unstabilized
     jpc_supg: bool = False
+    # SUPG-stabilize the SYSTEM (residual + Picard operator): BASELINE
+    # config 5 (Re 2000-5000) — the unstabilized Galerkin system is
+    # oscillatory at cell-Peclet >> 1 and no subsolve quality saves the
+    # outer Krylov (measured).  Implies stabilized PC operators too.
+    system_supg: bool = False
 
 
 def override(cfg: Any, key: str, value: Any) -> Any:

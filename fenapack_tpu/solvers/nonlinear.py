@@ -65,9 +65,11 @@ class NonlinearSolver:
         p_active = asm.p_active.astype(dt)
         n_p_active = float(asm.n1_real)
 
+        ssupg = config.system_supg
+
         def residual(w):
             u, p = w[:n_u], w[n_u:]
-            ru, rp = asm.residual(u, p)
+            ru, rp = asm.residual(u, p, supg=ssupg)
             ru = free_u * ru.astype(dt)
             rp = rp.astype(dt)
             if encl:
@@ -103,9 +105,12 @@ class NonlinearSolver:
         ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
         kr = self.oseen.config.krylov.recycle
 
+        ssupg = self.oseen.config.system_supg
+
         def residual_of(w):
             u, p = w[:n_u], w[n_u:]
-            ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi))
+            ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi),
+                                  supg=ssupg)
             ru = free_u * ru
             if encl:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
@@ -149,9 +154,12 @@ class NonlinearSolver:
         p_active = asm.p_active.astype(dt_hi)
         n_p_real = float(asm.n1_real)
 
+        ssupg = self.oseen.config.system_supg
+
         def residual_hi(w):
             u, p = w[:n_u], w[n_u:]
-            ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi))
+            ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi),
+                                  supg=ssupg)
             ru = free_u * ru
             if encl:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active

@@ -307,7 +307,8 @@ class OseenSolver:
             return make_velocity_gmg_from_wind(
                 self.velocity_hierarchy, cfg.velocity,
                 wind.astype(dt), self.linearization == "newton",
-                self.bc_mask_u, self.dtype, supg=cfg.jpc_supg,
+                self.bc_mask_u, self.dtype,
+                supg=(cfg.jpc_supg or cfg.system_supg),
                 theta=self.theta, inv_dt=self.inv_dt)
         raise ValueError(f"unknown velocity method {method!r}")
 
@@ -315,6 +316,8 @@ class OseenSolver:
     def _operator_values_raw(self, wind, hi: bool = True):
         """theta-scheme effective operator values in the wind's dtype."""
         A1 = self.asm.picard_matrix_values(wind, hi=hi)
+        if self.config.system_supg:
+            A1 = A1 + self.asm.supg_values(wind, hi=hi).astype(A1.dtype)
         if self.theta != 1.0 or self.inv_dt != 0.0:
             M2 = (self.asm.const_hi if hi else self.asm.const).M2
             M2vals = (M2.vals if M2 is not None
@@ -405,7 +408,8 @@ class OseenSolver:
         kp = self.asm.pat_p1.matrix(kpvals)
         matvec = self._matvec_factory(A1vals, R)
         A1pc = A1vals
-        if cfg.jpc_supg:
+        if cfg.jpc_supg and not cfg.system_supg:
+            # system_supg folds SUPG into A1vals already
             A1pc = A1vals + self.asm.supg_values(wind).astype(self.dtype)
         a_solve = self._velocity_solver(A1pc, R, wind=wind)
         pcd = self.pcd_apply        # bind ONCE per trace (casts hoist here)
