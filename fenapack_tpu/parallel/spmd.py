@@ -127,31 +127,36 @@ class RingHaloELL:
     def __init__(self, ell: ELL, n_dev: int, axis: str):
         self.axis = axis
         n, K = ell.cols.shape
+        n_cols = ell.n_cols
         if n % n_dev:
             raise ValueError(f"rows {n} not divisible by {n_dev}")
+        if n_cols % n_dev:
+            raise ValueError(f"cols {n_cols} not divisible by {n_dev}")
         n_loc = n // n_dev
+        c_loc = n_cols // n_dev       # rectangular ops: col-space block size
         self.n_loc = n_loc
+        self.c_loc = c_loc
         self.n_dev = n_dev
         cols = np.asarray(ell.cols)
         vals = np.asarray(ell.vals)
 
-        # halo width: max reach of any row beyond its own block, measured
-        # over all devices (uniform SPMD shape)
+        # halo width (in the COLUMN space): max reach of any row beyond the
+        # column block co-owned with its row block, over all devices
         h = 0
         for i in range(n_dev):
             blk = cols[i * n_loc:(i + 1) * n_loc]
             # padded slots have col 0 and val 0 — exclude them from the
             # reach computation by re-pointing at the block start
             valid = vals[i * n_loc:(i + 1) * n_loc] != 0
-            c = np.where(valid, blk, i * n_loc)
-            lo = int(c.min()) - i * n_loc
-            hi = int(c.max()) - ((i + 1) * n_loc - 1)
+            c = np.where(valid, blk, i * c_loc)
+            lo = int(c.min()) - i * c_loc
+            hi = int(c.max()) - ((i + 1) * c_loc - 1)
             h = max(h, -lo, hi)
-        if h > n_loc:
+        if h > c_loc:
             raise ValueError(
-                f"halo width {h} exceeds block size {n_loc}: sparsity is "
-                "not one-hop under this ordering; use RowBlockELL "
-                "(all-gather) or reorder dofs (RCM)")
+                f"halo width {h} exceeds column block size {c_loc}: "
+                "sparsity is not one-hop under this ordering; use "
+                "RowBlockELL (all-gather) or reorder dofs (RCM)")
         self.halo = h
 
         # rebase columns to the extended local vector of device i:
@@ -160,13 +165,14 @@ class RingHaloELL:
         for i in range(n_dev):
             blk = slice(i * n_loc, (i + 1) * n_loc)
             valid = vals[blk] != 0
-            c = np.where(valid, cols[blk], i * n_loc)
-            cols_ext[blk] = c - (i * n_loc - h)
+            c = np.where(valid, cols[blk], i * c_loc)
+            cols_ext[blk] = c - (i * c_loc - h)
         self.cols_ext = jnp.asarray(cols_ext.astype(np.int32))
         self.vals = ell.vals
 
     def mv_local(self, vals_loc, cols_loc, x_loc):
-        """Owned rows of A @ x; one ppermute each way for the halos."""
+        """Owned rows of A @ x; one ppermute each way for the halos.
+        ``x_loc`` is the device's slice of the COLUMN-space vector."""
         h, axis = self.halo, self.axis
         if h == 0:
             ext = x_loc

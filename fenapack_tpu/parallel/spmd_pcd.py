@@ -1,0 +1,480 @@
+"""Explicitly-scheduled SPMD Oseen solver: ring-halo FGMRES + PCD fieldsplit.
+
+The full production multi-chip path in hand-scheduled ``shard_map`` form —
+the TPU analogue of PETSc's MPI ``KSPFGMRES + PCFieldSplit + PCD`` stack
+(SURVEY.md sections 2.2 item 8 / 5.8), completing what parallel/spmd.py
+(ring SpMV + SPMD FGMRES) and parallel/spmd_gmg.py (sharded pressure GMG)
+provide as pieces:
+
+  * one GLOBAL device-major vector ``[ux_0|uy_0|p_0 | ux_1|uy_1|p_1 | ...]``
+    — device i's shard is its contiguous chunk, holding its rows of every
+    field.  Host-side ``pack``/``unpack`` map assembler ordering to it;
+  * all operators (velocity A1, divergence D, gradient DT, pressure Kp, Mp)
+    are :class:`RingHaloELL` row-blocks in the RCM-correlated orderings of
+    ``TaylorHood(reorder=True)`` — every SpMV's remote reads are one ring
+    hop over ICI (PETSc VecScatter analogue);
+  * the PCD BRM1/BRM2 applies and the upper-triangular Schur fieldsplit run
+    shard-local, with Chebyshev subsolves on ring operators; the Ap solve
+    uses the sharded GMG (its own per-level ordering, bridged by a pressure
+    all-gather — O(n_p) ICI traffic, small next to the velocity work);
+  * the outer loop is the SPMD FGMRES of parallel/spmd.py (psum'd CGS2).
+
+Validated against the single-device solver on the 8-device CPU mesh
+(tests/test_spmd_pcd.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sparse import ELL
+from ..ops import subsolve
+from .spmd import RingHaloELL, shard_map, _fgmres_local
+from .spmd_gmg import SPMDPressureGMG
+
+
+def _pad_len(n: int, n_dev: int) -> int:
+    return -(-n // n_dev) * n_dev
+
+
+class _FieldRing:
+    """RingHaloELL over a padded field: rows [0, n_rows_real) + identity-free
+    padding rows; columns live in a possibly different (padded) field."""
+
+    def __init__(self, ell: ELL, n_rows_real, n_rows_pad, n_cols_real,
+                 n_cols_pad, n_dev, axis, dtype, diag_identity_pad=False):
+        cols = np.asarray(ell.cols)[:n_rows_real]
+        vals = np.asarray(ell.vals)[:n_rows_real]
+        K = cols.shape[1]
+        nc = np.zeros((n_rows_pad, K), dtype=np.int32)
+        nv = np.zeros((n_rows_pad, K))
+        nc[:n_rows_real] = np.where(vals != 0, cols, 0)
+        nv[:n_rows_real] = vals
+        if diag_identity_pad:
+            for i in range(n_rows_real, n_rows_pad):
+                nc[i, 0] = min(i, n_cols_pad - 1)
+                nv[i, 0] = 1.0
+        e = ELL(cols=jnp.asarray(nc), vals=jnp.asarray(nv, dtype=dtype),
+                n_cols=n_cols_pad)
+        self.ring = RingHaloELL(e, n_dev, axis)
+        self.vals = e.vals
+        self.cols = self.ring.cols_ext
+
+    def operands(self):
+        return (self.vals, self.cols)
+
+
+class SPMDPCDSolver:
+    """Sharded PCD-preconditioned Oseen solve for one linearization point.
+
+    Built from a single-device :class:`solvers.oseen.OseenSolver` whose
+    assembler uses ``reorder=True`` (RCM; correlated orderings keep every
+    operator one-hop) and NO alignment padding requirements — padding to the
+    device count is handled here.  The wind enters through the A1/Kp element
+    values at :meth:`build_operands` (re-binding per nonlinear step reuses
+    the compiled solve).
+    """
+
+    def __init__(self, oseen, device_mesh: Mesh, *, axis: str = "dd",
+                 ap_gmg: Optional[SPMDPressureGMG] = None,
+                 cheb_velocity_iters: int = 8,
+                 maxiter: int = 60, rtol: float = 1e-6):
+        self.oseen = oseen
+        self.mesh = device_mesh
+        self.axis = axis
+        self.maxiter = maxiter
+        self.rtol = rtol
+        asm = oseen.asm
+        self.asm = asm
+        self.d = asm.dim
+        n_dev = device_mesh.devices.size
+        self.n_dev = n_dev
+        dt = oseen.dtype
+        self.dtype = dt
+
+        self.n2r = asm.n2_real
+        self.n1r = asm.n1_real
+        self.n2p = _pad_len(self.n2r, n_dev)
+        self.n1p = _pad_len(self.n1r, n_dev)
+        self.loc2 = self.n2p // n_dev
+        self.loc1 = self.n1p // n_dev
+        self.nloc = self.d * self.loc2 + self.loc1
+        self.n_glob = n_dev * self.nloc
+        self.cheb_velocity_iters = cheb_velocity_iters
+        self.ap_gmg = ap_gmg
+
+        # host-side pack/unpack index maps (assembler order <-> device-major)
+        # global device-major index of scalar-P2 dof j: device i = j//loc2
+        # owns it at i*nloc + (j - i*loc2) within component a's subslot.
+        self._build_pack_maps()
+
+        # masks.  Per-field operands are sharded in their OWN field
+        # layouts: u-space arrays device-major over components
+        # ([ux_0|uy_0|ux_1|uy_1|...], chunk i = [ux_i|uy_i]), pressure-space
+        # arrays plain block layout (chunk i = p_i).
+        mask_u = np.zeros(self.d * self.n2p)
+        bm = np.asarray(oseen.bc_mask_u)
+        for a in range(self.d):
+            seg = bm[a * asm.n2: a * asm.n2 + self.n2r]
+            mask_u[a * self.n2p: a * self.n2p + self.n2r] = seg
+            mask_u[a * self.n2p + self.n2r: (a + 1) * self.n2p] = 1.0
+        self.mask_u_dm = jnp.asarray(self._u_dm(mask_u), dt)
+
+        mask_p = np.zeros(self.n1p)
+        if oseen.pcd_mask is not None:
+            mask_p[:self.n1r] = np.asarray(oseen.pcd_mask)[:self.n1r]
+        mask_p[self.n1r:] = 1.0
+        self.mask_p_dm = jnp.asarray(mask_p, dt)
+        p_pad_only = np.zeros(self.n1p)
+        p_pad_only[self.n1r:] = 1.0
+        self.p_pad_dm = jnp.asarray(p_pad_only, dt)
+
+        # Mp: Jacobi-Chebyshev on a ring operator (mesh-uniform bounds)
+        c = oseen.const_lo
+        self.mp_ring = _FieldRing(c.Mp, self.n1r, self.n1p, self.n1r,
+                                  self.n1p, n_dev, axis, dt,
+                                  diag_identity_pad=True)
+        mp_diag = np.zeros(self.n1p)
+        mp_diag[:self.n1r] = np.asarray(
+            c.Mp.diag_from(asm.pat_p1.diag_pos))[:self.n1r]
+        mp_diag[self.n1r:] = 1.0
+        self.mp_dinv_dm = jnp.asarray(1.0 / mp_diag, dt)
+
+        # divergence / gradient rings (rectangular)
+        self.D_rings = [
+            _FieldRing(c.D[a], self.n1r, self.n1p, self.n2r, self.n2p,
+                       n_dev, axis, dt) for a in range(self.d)]
+        self.DT_rings = [
+            _FieldRing(c.DT[a], self.n2r, self.n2p, self.n1r, self.n1p,
+                       n_dev, axis, dt) for a in range(self.d)]
+
+        # GMG ordering bridge: pressure ASSEMBLER order -> gmg fine order.
+        # The outer assembler may itself be RCM-relabeled (reorder=True):
+        # compose natural->asm (W.Q.rank) with natural->gmg (fine_rank).
+        if ap_gmg is not None:
+            q = asm.W.Q
+            q_rank = (np.asarray(q.rank) if hasattr(q, "rank")
+                      else np.arange(self.n1r, dtype=np.int32))
+            g_rank = ap_gmg.fine_rank                # natural -> gmg id
+            self._gmg_npad = ap_gmg.levels[-1].n_pad
+            # gmg-order slot g holds assembler dof asm_of_gmg[g]
+            asm_of_gmg = np.zeros(self._gmg_npad, dtype=np.int32)
+            asm_of_gmg[g_rank] = q_rank              # for each natural n
+            self._gmg_from_asm = jnp.asarray(asm_of_gmg)
+            # assembler-order slot a holds gmg idx gmg_of_asm[a]
+            gmg_of_asm = np.zeros(self.n1p, dtype=np.int32)
+            gmg_of_asm[q_rank] = g_rank
+            self._asm_from_gmg = jnp.asarray(gmg_of_asm)
+
+        self._solve_fn = None
+
+    # ---------------------------------------------------------------- #
+    def _build_pack_maps(self):
+        d, n_dev = self.d, self.n_dev
+        loc2, loc1, nloc = self.loc2, self.loc1, self.nloc
+        # device-major position of padded-field indices
+        u_pos = np.empty(d * self.n2p, dtype=np.int64)
+        for a in range(d):
+            j = np.arange(self.n2p)
+            dev = j // loc2
+            u_pos[a * self.n2p:(a + 1) * self.n2p] = (
+                dev * nloc + a * loc2 + (j - dev * loc2))
+        p_pos = np.empty(self.n1p, dtype=np.int64)
+        j = np.arange(self.n1p)
+        dev = j // loc1
+        p_pos[:] = dev * nloc + d * loc2 + (j - dev * loc1)
+        self._u_pos, self._p_pos = u_pos, p_pos
+
+    def _pack_u(self, u_padded: np.ndarray) -> np.ndarray:
+        """Scatter a padded stacked-velocity vector into a device-major
+        global vector (pressure slots left zero)."""
+        out = np.zeros(self.n_glob, dtype=u_padded.dtype)
+        out[self._u_pos] = u_padded
+        return out
+
+    def _u_dm(self, u_padded: np.ndarray) -> np.ndarray:
+        """Stacked padded u (d*n2p) -> u-space device-major (d*n2p)."""
+        d, loc2, n_dev = self.d, self.loc2, self.n_dev
+        out = np.zeros(d * self.n2p, dtype=u_padded.dtype)
+        for a in range(d):
+            j = np.arange(self.n2p)
+            dev = j // loc2
+            out[dev * d * loc2 + a * loc2 + (j - dev * loc2)] = \
+                u_padded[a * self.n2p + j]
+        return out
+
+    def _pack_p(self, p_padded: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.n_glob, dtype=p_padded.dtype)
+        out[self._p_pos] = p_padded
+        return out
+
+    def pack(self, u_asm: np.ndarray, p_asm: np.ndarray) -> np.ndarray:
+        """Assembler-order (stacked u over n2-padded comps, p) -> global
+        device-major vector."""
+        asm = self.asm
+        up = np.zeros(self.d * self.n2p)
+        for a in range(self.d):
+            up[a * self.n2p: a * self.n2p + self.n2r] = \
+                np.asarray(u_asm)[a * asm.n2: a * asm.n2 + self.n2r]
+        pp = np.zeros(self.n1p)
+        pp[:self.n1r] = np.asarray(p_asm)[:self.n1r]
+        out = np.zeros(self.n_glob)
+        out[self._u_pos] = up
+        out[self._p_pos] = pp
+        return out
+
+    def unpack(self, x_dm: np.ndarray):
+        """Global device-major vector -> (u stacked assembler-padded, p)."""
+        asm = self.asm
+        x_dm = np.asarray(x_dm)
+        up = x_dm[self._u_pos]
+        pp = x_dm[self._p_pos]
+        u = np.zeros(self.d * asm.n2)
+        for a in range(self.d):
+            u[a * asm.n2: a * asm.n2 + self.n2r] = \
+                up[a * self.n2p: a * self.n2p + self.n2r]
+        p = np.zeros(asm.n1)
+        p[:self.n1r] = pp[:self.n1r]
+        return u, p
+
+    # ---------------------------------------------------------------- #
+    def build_operands(self, wind_asm):
+        """Ring operators for the current wind: velocity A1 and pressure Kp
+        element values from the single-device assembler (host path), packed
+        into ring layouts."""
+        oseen, asm, dt = self.oseen, self.asm, self.dtype
+        A1vals, R = oseen._operator_values(wind_asm.astype(self.dtype))
+        if R is not None:
+            raise NotImplementedError(
+                "SPMD PCD solver currently supports the Picard operator")
+        kpvals = asm.kp_values(
+            wind_asm.astype(self.dtype),
+            surface=(oseen.config.pcd.variant == "BRM2")).astype(dt)
+        A1 = asm.pat_p2.matrix(A1vals)
+        Kp = asm.pat_p1.matrix(kpvals)
+        a1_ring = _FieldRing(A1, self.n2r, self.n2p, self.n2r, self.n2p,
+                             self.n_dev, self.axis, dt,
+                             diag_identity_pad=True)
+        kp_ring = _FieldRing(Kp, self.n1r, self.n1p, self.n1r, self.n1p,
+                             self.n_dev, self.axis, dt)
+        a1_diag = np.zeros(self.n2p)
+        a1_diag[:self.n2r] = np.asarray(
+            A1.diag_from(asm.pat_p2.diag_pos))[:self.n2r]
+        a1_diag[self.n2r:] = 1.0
+        # velocity Chebyshev bounds via host power iteration on the diagonal-
+        # scaled SYMMETRIC PART surrogate: bounds only shape the polynomial
+        lo, hi = self.oseen.config.velocity.bounds or (0.06, 1.95)
+
+        rows = NamedSharding(self.mesh, P(self.axis))
+        put = lambda x: jax.device_put(x, rows)
+        ops = {
+            "a1": tuple(put(x) for x in a1_ring.operands()),
+            "kp": tuple(put(x) for x in kp_ring.operands()),
+            "mp": tuple(put(x) for x in self.mp_ring.operands()),
+            "D": tuple(tuple(put(x) for x in r.operands())
+                       for r in self.D_rings),
+            "DT": tuple(tuple(put(x) for x in r.operands())
+                        for r in self.DT_rings),
+            "a1_dinv": put(self._put_u_diag(a1_diag)),
+            "mask_u": put(self.mask_u_dm),
+            "mask_p": put(self.mask_p_dm),
+            "p_pad": put(self.p_pad_dm),
+            "mp_dinv": put(self.mp_dinv_dm),
+        }
+        self._a1_bounds = (float(lo), float(hi))
+        if self.ap_gmg is not None:
+            ops["gmg"] = self.ap_gmg.sharded_operands()
+            ops["gmg_from_asm"] = jax.device_put(self._gmg_from_asm,
+                                                 NamedSharding(self.mesh, P()))
+            ops["asm_from_gmg"] = jax.device_put(self._asm_from_gmg,
+                                                 NamedSharding(self.mesh, P()))
+        # ring objects used inside the local body (static layout info)
+        self._rings = dict(a1=a1_ring, kp=kp_ring)
+        return ops
+
+    def _put_u_diag(self, a1_diag):
+        up = np.zeros(self.d * self.n2p)
+        for a in range(self.d):
+            up[a * self.n2p:(a + 1) * self.n2p] = a1_diag
+        return jnp.asarray(self._u_dm(1.0 / up), self.dtype)
+
+    # ---------------------------------------------------------------- #
+    # shard-local solve body
+    # ---------------------------------------------------------------- #
+    def _local_ops(self, ops_loc):
+        d = self.d
+        loc2, loc1 = self.loc2, self.loc1
+        axis = self.axis
+        a1_ring = self._rings["a1"].ring
+        kp_ring = self._rings["kp"].ring
+        mp_ring = self.mp_ring.ring
+        D_rings = [r.ring for r in self.D_rings]
+        DT_rings = [r.ring for r in self.DT_rings]
+
+        def split(x_loc):
+            us = [x_loc[a * loc2:(a + 1) * loc2] for a in range(d)]
+            return us, x_loc[d * loc2:]
+
+        def join(us, p):
+            return jnp.concatenate(us + [p])
+
+        a1v, a1c = ops_loc["a1"]
+        kpv, kpc = ops_loc["kp"]
+        mpv, mpc = ops_loc["mp"]
+        mask_u = ops_loc["mask_u"]
+        mask_p = ops_loc["mask_p"]
+        p_pad = ops_loc["p_pad"]
+        mp_dinv = ops_loc["mp_dinv"]
+        a1_dinv = ops_loc["a1_dinv"]
+        # u-space locals are [ux_i | uy_i] (d*loc2); pressure locals (loc1)
+        mus = [mask_u[a * loc2:(a + 1) * loc2] for a in range(d)]
+        fus = [1.0 - m for m in mus]
+
+        def matvec_local(x_loc):
+            us, p = split(x_loc)
+            ufs = [f * u for f, u in zip(fus, us)]
+            ys = []
+            for a in range(d):
+                y = a1_ring.mv_local(a1v, a1c, ufs[a])
+                dv, dc = ops_loc["DT"][a]
+                y = y + DT_rings[a].mv_local(dv, dc, p)
+                ys.append(fus[a] * y + mus[a] * us[a])
+            yp = jnp.zeros_like(p)
+            for a in range(d):
+                dv, dc = ops_loc["D"][a]
+                yp = yp + D_rings[a].mv_local(dv, dc, ufs[a])
+            yp = yp + p_pad * p
+            return join(ys, yp)
+
+        # velocity subsolve: Jacobi-Chebyshev on the masked ring operator
+        lo, hi = self._a1_bounds
+
+        def vel_mv(u_all):
+            us = [u_all[a * loc2:(a + 1) * loc2] for a in range(d)]
+            ys = []
+            for a in range(d):
+                y = a1_ring.mv_local(a1v, a1c, fus[a] * us[a])
+                ys.append(fus[a] * y + mus[a] * us[a])
+            return jnp.concatenate(ys)
+
+        # iterated minimal-residual polynomial (robust on the nonsymmetric
+        # velocity block, where Chebyshev stalls — measured); all inner
+        # Gram products are small dense (4x4), shard-safe via psum'd dots
+        from ..solvers.gmg import _minres_smooth
+
+        def _psum_minres(mv, dinv, s_iters, b, x):
+            r = b - mv(x)
+            z = dinv * r
+            Zs, Ws = [], []
+            for _ in range(s_iters):
+                w = mv(z)
+                Zs.append(z)
+                Ws.append(w)
+                z = dinv * w
+            W = jnp.stack(Ws)
+            Z = jnp.stack(Zs)
+            G = jax.lax.psum(W @ W.T, self.axis)
+            cvec = jax.lax.psum(W @ r, self.axis)
+            lam = 1e-7 * jnp.trace(G) / G.shape[0] + 1e-30
+            y = jnp.linalg.solve(
+                G + lam * jnp.eye(G.shape[0], dtype=G.dtype), cvec)
+            return x + Z.T @ y
+
+        rounds = max(1, self.cheb_velocity_iters // 4)
+
+        def vel_solve(b):
+            x = jnp.zeros_like(b)
+            for _ in range(rounds):
+                x = _psum_minres(vel_mv, a1_dinv, 4, b, x)
+            return x
+
+        def mp_solve(r):
+            fp = 1.0 - p_pad
+
+            def mp_mv(x):
+                y = mp_ring.mv_local(mpv, mpc, fp * x)
+                return fp * y + p_pad * x
+            ch = subsolve.chebyshev_solver(mp_mv, mp_dinv, 0.15, 2.5, 6)
+            return ch(r)
+
+        if self.ap_gmg is not None:
+            gmg_ops = ops_loc["gmg"]
+            g_from_a = ops_loc["gmg_from_asm"]
+            a_from_g = ops_loc["asm_from_gmg"]
+            gmg = self.ap_gmg
+            npad_g = self._gmg_npad
+            nloc_g = npad_g // self.n_dev
+
+            def ap_solve(r_loc):
+                # bridge orderings: all-gather assembler-order pressure,
+                # gather the gmg-order local slice
+                r_full = jax.lax.all_gather(r_loc, self.axis, tiled=True)
+                i = jax.lax.axis_index(self.axis)
+                idx = jax.lax.dynamic_slice_in_dim(g_from_a, i * nloc_g,
+                                                   nloc_g)
+                rg = r_full[idx]          # gmg-order local slice (asm vals)
+                eg = gmg.solve_local(rg, gmg_ops)
+                e_full = jax.lax.all_gather(eg, self.axis, tiled=True)
+                idx2 = jax.lax.dynamic_slice_in_dim(a_from_g, i * loc1,
+                                                    loc1)
+                # padding slots map to gmg slot 0: zero them out
+                return (1.0 - p_pad) * e_full[idx2]
+        else:
+            raise NotImplementedError("SPMD PCD requires ap_gmg")
+
+        variant = self.oseen.config.pcd.variant
+        free_p = 1.0 - mask_p
+
+        def kp_mv(x):
+            return kp_ring.mv_local(kpv, kpc, x)
+
+        if variant == "BRM1":
+            def schur(r_p):
+                w1 = ap_solve(free_p * r_p)
+                return -(mp_solve(r_p + kp_mv(w1)))
+        else:
+            def schur(r_p):
+                w1 = mp_solve(r_p)
+                w2 = free_p * kp_mv(w1)
+                return -(w1 + ap_solve(w2))
+
+        def pc_local(r_loc):
+            us, rp = split(r_loc)
+            zp = schur(rp)
+            # z_u = A^{-1} (r_u - B^T z_p)
+            rhs = []
+            for a in range(d):
+                dv, dc = ops_loc["DT"][a]
+                rhs.append(fus[a] * (us[a] - DT_rings[a].mv_local(dv, dc,
+                                                                  zp)))
+            zu = vel_solve(jnp.concatenate(rhs))
+            zus = [fus[a] * zu[a * loc2:(a + 1) * loc2] + mus[a] * us[a]
+                   for a in range(d)]
+            return join(zus, zp)
+
+        return matvec_local, pc_local
+
+    def solve(self, ops, b_dm):
+        axis = self.axis
+        # specs: replicated index maps, row-sharded everything else
+        ops_specs = jax.tree.map(lambda x: P(axis), ops)
+        if self.ap_gmg is not None:
+            ops_specs["gmg_from_asm"] = P()
+            ops_specs["asm_from_gmg"] = P()
+
+        @partial(shard_map, mesh=self.mesh, in_specs=(ops_specs, P(axis)),
+                 out_specs=(P(axis), P(), P()))
+        def run(ops_loc, b_loc):
+            matvec_local, pc_local = self._local_ops(ops_loc)
+            return _fgmres_local(matvec_local, pc_local, b_loc,
+                                 maxiter=self.maxiter, rtol=self.rtol,
+                                 axis=axis)
+
+        if self._solve_fn is None:
+            self._solve_fn = jax.jit(run)
+        return self._solve_fn(ops, jnp.asarray(b_dm, self.dtype))

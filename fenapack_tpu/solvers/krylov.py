@@ -81,10 +81,12 @@ def refresh_recycle(matvec: Callable, rec: RecycleSpace,
     dt = rec.U.dtype
     fdt = factor_dtype or dt
     with jax.default_matmul_precision("highest"):
-        # NOTE the vmapped SpMV becomes a batched contraction that XLA may
-        # route through bf16 MXU passes at default precision — a 4e-3
-        # relative error in C = A U silently defeats the whole deflation
-        Cp = jax.vmap(matvec)(rec.U)                 # (k, n)
+        # UNROLLED matvecs, not vmap: batched/matrix-matrix contractions on
+        # the TPU are silently routed through reduced-precision MXU passes
+        # (f32 -> bf16, and measured f64 -> ~f32 even under "highest"),
+        # which corrupts the invariant C = A U and stalls deflated solves
+        # at the corrupted level.  Matrix-VECTOR products lower cleanly.
+        Cp = jnp.stack([matvec(rec.U[i]) for i in range(k)])   # (k, n)
         if fdt == dt:
             Q, R = jnp.linalg.qr(Cp.T)               # (n,k), (k,k)
             Rg = R + jnp.diag(_diag_guard(R))
@@ -100,8 +102,9 @@ def refresh_recycle(matvec: Callable, rec: RecycleSpace,
             U1 = jax.scipy.linalg.solve_triangular(Rg.T, rec.U, lower=True)
             C1 = jax.scipy.linalg.solve_triangular(Rg.T, Cp, lower=True)
             # Cholesky refinement: C1 C1^T = I + O(f32); fold L^{-1} into
-            # both so orthonormality AND the invariant hold in precision dt
-            S = C1 @ C1.T + jnp.diag(
+            # both so orthonormality AND the invariant hold in precision dt.
+            # Gram rows via matrix-vector products (see Cp note above).
+            S = jnp.stack([C1 @ C1[i] for i in range(k)]) + jnp.diag(
                 jnp.where(rec.valid > 0, 0.0, 1.0) * jnp.ones(k, dt))
             L = jnp.linalg.cholesky(S)
             U_new = jax.scipy.linalg.solve_triangular(L, U1, lower=True)

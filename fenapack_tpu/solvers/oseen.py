@@ -274,7 +274,7 @@ class OseenSolver:
             A = free[:, None] * A * free[None, :] + jnp.diag(self.bc_mask_u)
             Ainv = jnp.linalg.inv(A)
             return lambda r: Ainv @ r
-        if method in ("jacobi", "chebyshev"):
+        if method in ("jacobi", "chebyshev", "minres"):
             # matrix-free fixed-sweep smoothers for the velocity block —
             # the large-3D path (BASELINE config 4: batched subsolves, no
             # factorization); used as a weak-but-cheap PC inside FGMRES
@@ -297,6 +297,20 @@ class OseenSolver:
                     x = omega * dinv * b
                     for _ in range(iters - 1):
                         x = x + omega * dinv * (b - mv(x))
+                    return x
+                return solve
+            if method == "minres":
+                # iterated minimal-residual polynomial: robust on the
+                # NONSYMMETRIC velocity block where Chebyshev (an SPD
+                # method) stalls — matrix-free like chebyshev, same
+                # matvec count per sweep
+                from .gmg import _minres_smooth
+                rounds = max(1, iters // 4)
+
+                def solve(b, mv=mv, dinv=dinv):
+                    x = jnp.zeros_like(b)
+                    for _ in range(rounds):
+                        x = _minres_smooth(mv, dinv, 4, b, x)
                     return x
                 return solve
             bounds = cfg.velocity.bounds or (0.1, 2.0)
