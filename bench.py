@@ -57,7 +57,8 @@ def build(level: int, variant: str, ls: str = "direct",
     asm = NSAssembler(mesh, 0.02, dtype=jnp.float64, block_size=block_size,
                       reorder=(block_size is not None and ls != "iterative"),
                       block_dtype=jnp.float32 if block_size else None,
-                      hi_block=(hik and block_size is not None))
+                      hi_block=(os.environ.get("BENCH_HIBLOCK", "0") == "1"
+                                and block_size is not None))
 
     def inflow(x):
         v = np.zeros((x.shape[0], 2))
@@ -73,10 +74,14 @@ def build(level: int, variant: str, ls: str = "direct",
         "krylov.hi_krylov": hik,
         "krylov.rtol": 2e-6,          # inner IR correction tolerance
         "krylov.maxiter": 80,
-        # GCRO-DR recycling: net win once refresh_recycle's batched SpMV is
-        # pinned to full f32 (bf16 MXU default corrupted C=AU; 886 iters ->
-        # 324 at k=16 vs 339 undeflated)
-        "krylov.recycle": int(os.environ.get("BENCH_RECYCLE", "16")),
+        # GCRO-DR recycling: a win for the 2-round f32 IR mode (deflates the
+        # per-round Arnoldi startup; 886 -> 324 iters once the batched-SpMV
+        # precision landmine was pinned).  Under hi_krylov the solve is
+        # single-round and recycling saves only ~1% (CPU: 303 vs 306) while
+        # adding the refresh/deflation machinery to the TPU program — off by
+        # default there.
+        "krylov.recycle": int(os.environ.get(
+            "BENCH_RECYCLE", "0" if hik else "16")),
         # measured: f64 outer matvec does NOT cut iterations (the 2-round
         # IR floor comes from the f32 residual-ESTIMATE resolution, not
         # matvec accuracy) and costs +3.5s wall; opt-in only
@@ -91,7 +96,9 @@ def build(level: int, variant: str, ls: str = "direct",
     if ls == "iterative":
         over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
                      "velocity.cycles": 2, "pcd.ap.method": "gmg",
-                     "krylov.maxiter": 120})
+                     # hi_krylov counts stay in the 30s: a tight Krylov cap
+                     # shrinks the f64 basis/CGS2 footprint per iteration
+                     "krylov.maxiter": 48 if hik else 120})
         marker = meshmod.INFLOW if variant == "BRM1" else meshmod.OUTFLOW
         ap_h = gmg.PressureHierarchy(hier, jnp.float32,
                                      pcd_markers=[marker],

@@ -402,29 +402,46 @@ class NSAssembler:
         elem = self.adet[:, None, None] * mref[None]
         return self._pats(hi)[0].assemble_values(elem)
 
-    def convection_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
+    def convection_values(self, u: jnp.ndarray, hi: bool = False,
+                          compute32: bool = False) -> jnp.ndarray:
         """Scalar convection N(w) values: N[i,j] = int (w.grad phi_j) phi_i.
 
         Factored through Jinv (intermediates O(nc*nq*d), see
-        _assemble_constant): s = (wdet*uq).Jinv, B = phi (x) dphi."""
-        uq = self.wind_at_quad(u)
-        t = jnp.einsum("cq,cqd,ckd->cqk", self.wdet, uq, self.Jinv)
-        B = jnp.einsum("qi,qjk->qijk", self.phi2, self.dphi2)
-        elem = jnp.einsum("cqk,qijk->cij", t, B)
-        return self._pats(hi)[0].assemble_values(elem)
+        _assemble_constant): s = (wdet*uq).Jinv, B = phi (x) dphi.
 
-    def newton_reaction_values(self, u: jnp.ndarray,
-                               hi: bool = False) -> jnp.ndarray:
-        """(d,d,*value_shape) values of R_ab[i,j] = int phi_j (d_b u_a) phi_i."""
+        ``compute32`` runs the per-step element einsums in f32 and casts the
+        assembled values up: emulated-f64 einsums dominate the per-step wall
+        on TPU, and a 1e-7-perturbed *integral* is still a perfectly
+        consistent discrete operator (matvec/residual/PC all read the same
+        values) — only the constant parts (nu L, Mp/dt) carry f64 integrals.
+        """
+        cd = jnp.float32 if compute32 else None
+        w = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
+        uq = jnp.einsum("qi,cid->cqd", w(self.phi2), w(self.u_cell(u)))
+        t = jnp.einsum("cq,cqd,ckd->cqk", w(self.wdet), uq, w(self.Jinv))
+        B = jnp.einsum("qi,qjk->qijk", w(self.phi2), w(self.dphi2))
+        elem = jnp.einsum("cqk,qijk->cij", t, B)
+        vals = self._pats(hi)[0].assemble_values(elem)
+        return vals.astype(self.dtype) if cd is not None else vals
+
+    def newton_reaction_values(self, u: jnp.ndarray, hi: bool = False,
+                               compute32: bool = False) -> jnp.ndarray:
+        """(d,d,*value_shape) values of R_ab[i,j] = int phi_j (d_b u_a) phi_i.
+
+        ``compute32``: see :meth:`convection_values`."""
         d = self.dim
         pat = self._pats(hi)[0]
+        cd = jnp.float32 if compute32 else None
+        w = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
         # gradu (nc,nq,d,d): small; factored as (u_cell . dphi) . Jinv
-        U = jnp.einsum("cia,qik->cqak", self.u_cell(u), self.dphi2)
-        gradu = jnp.einsum("cqak,ckb->cqab", U, self.Jinv)
-        P = jnp.einsum("qi,qj->qij", self.phi2, self.phi2)
-        elem = jnp.einsum("cq,cqab,qij->abcij", self.wdet, gradu, P)
+        U = jnp.einsum("cia,qik->cqak", w(self.u_cell(u)), w(self.dphi2))
+        gradu = jnp.einsum("cqak,ckb->cqab", U, w(self.Jinv))
+        P = jnp.einsum("qi,qj->qij", w(self.phi2), w(self.phi2))
+        elem = jnp.einsum("cq,cqab,qij->abcij", w(self.wdet), gradu, P)
         flat = elem.reshape(d * d, -1)
         vals = jax.vmap(pat.assemble_values)(flat)
+        if cd is not None:
+            vals = vals.astype(self.dtype)
         return vals.reshape((d, d) + pat.value_shape)
 
     def kp_values(self, u: jnp.ndarray, surface: bool = False) -> jnp.ndarray:
@@ -472,11 +489,11 @@ class NSAssembler:
         return self._pats(hi)[0].assemble_values(elem)
 
     # ------------------------------------------------------------------ #
-    def picard_matrix_values(self, u: jnp.ndarray,
-                             hi: bool = False) -> jnp.ndarray:
+    def picard_matrix_values(self, u: jnp.ndarray, hi: bool = False,
+                             compute32: bool = False) -> jnp.ndarray:
         """A1 = nu * L + N(u) scalar values (applied to each component)."""
         L = self.const_hi.L if hi else self.const.L
-        conv = self.convection_values(u, hi=hi)
+        conv = self.convection_values(u, hi=hi, compute32=compute32)
         return self.nu * L.vals.astype(conv.dtype) + conv
 
     def residual(self, u: jnp.ndarray, p: jnp.ndarray,

@@ -65,6 +65,13 @@ class KrylovConfig:
     # estimate floor otherwise inflates by ~15%.  Cost: emulated-f64 SpMV +
     # basis algebra per iteration.
     hi_krylov: bool = False
+    # compute the PER-STEP element integrals of the high-precision operator
+    # (convection, Newton reaction) in f32 and cast up: emulated-f64 element
+    # einsums dominate the per-step wall on TPU, and a 1e-7-perturbed
+    # integral is still a consistent discrete operator (matvec, true
+    # residual, and PC all read the same values).  Constant integrals
+    # (nu L, mass) remain exact f64.
+    hi_ops_f32: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -329,7 +329,8 @@ class OseenSolver:
     # -------------------------------------------------------------- #
     def _operator_values_raw(self, wind, hi: bool = True):
         """theta-scheme effective operator values in the wind's dtype."""
-        A1 = self.asm.picard_matrix_values(wind, hi=hi)
+        c32 = bool(hi) and self.config.krylov.hi_ops_f32
+        A1 = self.asm.picard_matrix_values(wind, hi=hi, compute32=c32)
         if self.config.system_supg:
             A1 = A1 + self.asm.supg_values(wind, hi=hi).astype(A1.dtype)
         if self.theta != 1.0 or self.inv_dt != 0.0:
@@ -339,7 +340,7 @@ class OseenSolver:
             A1 = self.theta * A1 + self.inv_dt * M2vals.astype(A1.dtype)
         R = None
         if self.linearization == "newton":
-            R = self.asm.newton_reaction_values(wind, hi=hi)
+            R = self.asm.newton_reaction_values(wind, hi=hi, compute32=c32)
             if self.theta != 1.0:
                 R = self.theta * R
         return A1, R
