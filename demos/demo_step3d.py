@@ -20,6 +20,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-l", "--level", type=int, default=1)
+    ap.add_argument("--length", type=float, default=3.0,
+                    help="channel length (9.0 at l=3 gives the ~2M-DoF "
+                         "config-4 scale)")
     ap.add_argument("--nu", type=float, default=0.05)
     ap.add_argument("--pcd", choices=["BRM1", "BRM2"], default="BRM2")
     ap.add_argument("--nls", choices=["picard", "newton"], default="picard")
@@ -64,10 +67,11 @@ def main():
         depth = args.gmg_levels if args.gmg_levels is not None \
             else args.level
         hier = gmg.build_hierarchy(
-            mesh3d.backward_step_mesh3d(args.level - depth), depth)
+            mesh3d.backward_step_mesh3d(args.level - depth,
+                                        length=args.length), depth)
         mesh = hier.fine
     else:
-        mesh = mesh3d.backward_step_mesh3d(args.level)
+        mesh = mesh3d.backward_step_mesh3d(args.level, length=args.length)
     asm = NSAssembler(mesh, args.nu, dtype=jnp.float64, quad_degree=4,
                       block_size=args.block or None,
                       reorder=False if args.velocity == "gmg" else None,
