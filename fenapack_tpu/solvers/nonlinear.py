@@ -227,6 +227,78 @@ class NonlinearSolver:
                                converged=converged,
                                wall_time=time.perf_counter() - t0)
 
+    def solve_anderson(self, w0: Optional[jnp.ndarray] = None, *,
+                       m: int = 3, rtol: float = 1e-5,
+                       rtol_lin: float = 1e-8, max_steps: int = 25,
+                       verbose: bool = False) -> NonlinearResult:
+        """Anderson-accelerated Picard (type-II mixing, window ``m``).
+
+        The Picard map is ``g(w) = w + J(w)^{-1}(-F(w))`` (the fused IR
+        step); Anderson extrapolates over the last ``m`` iterates by
+        minimizing the fixed-point residual ``f = g(w) - w`` in the affine
+        hull of the history — typically 20-40% fewer nonlinear steps than
+        plain Picard at identical per-step cost (beyond-reference feature;
+        the reference's only acceleration is switching to Newton).
+
+        The (m-1)^2 Gram matrices are computed on device with UNROLLED dot
+        products (TPU matrix-matrix precision landmine) and solved on host.
+        """
+        t0 = time.perf_counter()
+        dt_hi = jnp.dtype(self.asm.dtype)
+        kr = self.oseen.config.krylov.recycle
+        step = self.make_step_ir(rtol_lin=rtol_lin)
+        rec = self.initial_recycle() if kr else None
+        w = (self.initial_state() if w0 is None else w0).astype(dt_hi)
+        hist_f: List[jnp.ndarray] = []
+        hist_g: List[jnp.ndarray] = []
+        res_hist: List[float] = []
+        it_hist: List[int] = []
+        r0 = None
+        converged = False
+        for k in range(max_steps):
+            if kr:
+                w_new, rn, iters, _, rec = step(w, rec)
+            else:
+                w_new, rn, iters, _ = step(w)
+            rn = float(rn)
+            res_hist.append(rn)
+            if r0 is None:
+                r0 = rn if rn > 0 else 1.0
+            if verbose:
+                print(f"  anderson step {k:2d}: |F| = {rn:.3e}")
+            if rn <= max(rtol * r0, 1e-300):
+                converged = True
+                break
+            it_hist.append(int(iters))
+            f = w_new - w
+            g = w_new
+            hist_f.append(f)
+            hist_g.append(g)
+            if len(hist_f) > m:
+                hist_f.pop(0)
+                hist_g.pop(0)
+            if len(hist_f) >= 2:
+                dF = [hist_f[j + 1] - hist_f[j]
+                      for j in range(len(hist_f) - 1)]
+                dG = [hist_g[j + 1] - hist_g[j]
+                      for j in range(len(hist_g) - 1)]
+                # normal equations via unrolled dots (device), solve on host
+                G = np.array([[float(jnp.vdot(a, b)) for b in dF]
+                              for a in dF])
+                c = np.array([float(jnp.vdot(a, f)) for a in dF])
+                lam = 1e-12 * max(np.trace(G), 1e-30)
+                try:
+                    gam = np.linalg.solve(G + lam * np.eye(G.shape[0]), c)
+                except np.linalg.LinAlgError:
+                    gam = np.zeros(G.shape[0])
+                w = g - sum(float(gi) * dgi for gi, dgi in zip(gam, dG))
+            else:
+                w = g
+        return NonlinearResult(w=w, nonlinear_res=res_hist,
+                               linear_iters=it_hist, linear_resnorms=[],
+                               converged=converged,
+                               wall_time=time.perf_counter() - t0)
+
     def solve(self, w0: Optional[jnp.ndarray] = None, *, rtol: float = 1e-5,
               atol: float = 1e-12, max_steps: int = 25,
               damping: float = 1.0, verbose: bool = False) -> NonlinearResult:
