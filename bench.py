@@ -187,12 +187,30 @@ def main():
     bs = int(os.environ.get("BENCH_BLOCK", "32")) or None
     nl = build(level, variant, ls=ls, block_size=bs)
 
-    # warmup: compiles the fused step once
-    _, _, _, step = picard_ir(nl, max_steps=2)
+    # fully-fused path: the WHOLE Picard solve is one device program (no
+    # per-step host round-trips / scalar fetches through the tunnel);
+    # available when recycling is off (hi_krylov default)
+    fullfuse = (os.environ.get("BENCH_FULLFUSE", "1") == "1"
+                and nl.oseen.config.krylov.recycle == 0)
+    if fullfuse:
+        full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
+        w0 = nl.initial_state().astype(jnp.float64)
+        out = full(w0)                       # warmup/compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        w, k, iters_a, res_a = full(w0)
+        jax.block_until_ready((w, k, iters_a))
+        wall = time.perf_counter() - t0
+        k = int(k)
+        iters = [int(i) for i in np.asarray(iters_a)[:k]]
+        res = [float(r) for r in np.asarray(res_a)[:k + 1]]
+    else:
+        # warmup: compiles the fused step once
+        _, _, _, step = picard_ir(nl, max_steps=2)
 
-    t0 = time.perf_counter()
-    w, iters, res, _ = picard_ir(nl, step=step)
-    wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        w, iters, res, _ = picard_ir(nl, step=step)
+        wall = time.perf_counter() - t0
 
     pcd_ms = time_pcd_apply(nl, w)
 

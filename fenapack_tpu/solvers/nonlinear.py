@@ -227,6 +227,77 @@ class NonlinearSolver:
                                converged=converged,
                                wall_time=time.perf_counter() - t0)
 
+    def make_full_solve(self, rtol: float = 1e-5, rtol_lin: float = 1e-8,
+                        max_steps: int = 25):
+        """Whole nonlinear solve as ONE device program: ``lax.while_loop``
+        over fused Picard steps (residual + linear solve + update) with the
+        convergence test on device.
+
+        Returns jitted ``full(w0) -> (w, n_steps, iters_per_step, res_hist)``
+        — a single host round-trip for the entire solve (the per-step
+        dispatch + scalar fetch of the host loop costs ~30-60 ms each
+        through the remote-attached TPU tunnel).  Requires
+        ``config.krylov.recycle == 0`` (thread recycle state via
+        :meth:`solve_fused` otherwise).
+        """
+        if self.oseen.config.krylov.recycle:
+            raise ValueError("make_full_solve requires krylov.recycle=0")
+        asm = self.asm
+        n_u = self.n_u
+        dt_hi = jnp.dtype(asm.dtype)
+        free_u = self.oseen.free_u.astype(dt_hi)
+        encl = self.enclosed
+        p_active = asm.p_active.astype(dt_hi)
+        n_p_real = float(asm.n1_real)
+        ssupg = self.oseen.config.system_supg
+        ir = self.oseen.make_ir_solve(rtol_lin, _jit=False)
+
+        def residual_of(w):
+            u, p = w[:n_u], w[n_u:]
+            ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi),
+                                  supg=ssupg)
+            ru = free_u * ru
+            if encl:
+                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
+            F = jnp.concatenate([ru, rp])
+            return F, jnp.linalg.norm(F)
+
+        def full(w0):
+            w0 = w0.astype(dt_hi)
+            iters0 = jnp.zeros(max_steps, jnp.int32)
+            res0 = jnp.zeros(max_steps + 1, dt_hi)
+
+            def cond(c):
+                k, w, r0, iters, res, done = c
+                return jnp.logical_and(k < max_steps, jnp.logical_not(done))
+
+            def body(c):
+                k, w, r0, iters, res, done = c
+                F, rn = residual_of(w)
+                r0 = jnp.where(k == 0, jnp.where(rn > 0, rn, 1.0), r0)
+                res = res.at[k].set(rn)
+                conv = rn <= rtol * r0
+
+                def take_step(_):
+                    x, it, _ = ir(w[:n_u], -F)
+                    return w + x, it
+
+                # lax.cond: the converged final check pays NO linear solve
+                w_new, it = jax.lax.cond(
+                    conv, lambda _: (w, jnp.array(0, jnp.int32)),
+                    take_step, None)
+                iters = iters.at[k].set(it)
+                return (k + jnp.where(conv, 0, 1), w_new, r0, iters, res,
+                        conv)
+
+            k, w, r0, iters, res, done = jax.lax.while_loop(
+                cond, body, (jnp.array(0, jnp.int32), w0,
+                             jnp.array(1.0, dt_hi), iters0, res0, False))
+            return w, k, iters, res
+
+        from ..runtime import lift_jit
+        return lift_jit(full, self.oseen._lift_roots)
+
     def solve_anderson(self, w0: Optional[jnp.ndarray] = None, *,
                        m: int = 3, rtol: float = 1e-5,
                        rtol_lin: float = 1e-8, max_steps: int = 25,
