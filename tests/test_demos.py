@@ -44,3 +44,10 @@ def test_demo_step3d():
                   "--maxiter", "100"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "converged: True" in r.stdout
+
+
+def test_demo_spmd():
+    r = run_demo(["demo_spmd.py", "-l", "0", "-n", "8", "--path", "ring"],
+                 timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[ring]" in r.stdout
