@@ -189,6 +189,10 @@ class NSAssembler:
         self.qw = jnp.asarray(qw, dtype=dtype)
         self.phi2 = jnp.asarray(phi2, dtype=dtype)
         self.phi1 = jnp.asarray(phi1, dtype=dtype)
+        # host copies for the CPU constant-assembly path at 3D scale (a
+        # device->host fetch here would pay the tunnel warmup stall)
+        self._host_tabs = dict(Jinv=Jinv, dphi2=dphi2, g1=g1, adet=adet,
+                               qw=qw, phi2=phi2, phi1=phi1)
         # combined quad weight * |det| (nc, nq)
         self.wdet = self.adet[:, None] * self.qw[None, :]
 
@@ -342,28 +346,34 @@ class NSAssembler:
         adet, qw = self.adet, self.qw
         p2, p1, pdiv, pdivT = self._pats(hi)
 
-        # viscous: adet_c * M_ckl * T_klij ;  M = Jinv Jinv^T (metric),
-        # T_klij = sum_q qw dphi_qik dphi_qjl   (reference tensor)
-        M = jnp.einsum("ckd,cld->ckl", Jinv, Jinv)
-        T = jnp.einsum("q,qik,qjl->klij", qw, dphi2, dphi2)
-        visc = jnp.einsum("c,ckl,klij->cij", adet, M, T)
+        # at 3D scale the (nc, d, d)/(nc, nb, nb) intermediates of these
+        # SETUP-ONLY einsums explode under TPU tile padding (measured 57x
+        # on bf16-emulated f64 buffers -> 17 GB HBM at 467k cells): run the
+        # whole constant assembly on the host CPU device and ship only the
+        # final value arrays; the per-iteration hot path is unaffected.
+        import os as _os
+        import jax as _jax
+        big = self.nc > int(_os.environ.get(
+            "FENAPACK_HOST_ASM_CELLS", "200000"))
+        on_cpu = big and _jax.default_backend() != "cpu"
+        if on_cpu:
+            cpu = _jax.devices("cpu")[0]
+            tgt = _jax.devices()[0]                    # the real accelerator
+            ctx = _jax.default_device(cpu)
+            h = self._host_tabs
+            put = lambda x: _jax.device_put(
+                np.asarray(x, dtype=np.float64), cpu)
+            Jinv, dphi2, g1 = put(h["Jinv"]), put(h["dphi2"]), put(h["g1"])
+            adet, qw = put(h["adet"]), put(h["qw"])
+            phi1 = put(h["phi1"])
+        else:
+            ctx = None
 
-        # masses: adet_c * (sum_q qw phi phi)
-        if not skip_m2:
-            mref2 = jnp.einsum("q,qi,qj->ij", qw, self.phi2, self.phi2)
-            mass_p2 = adet[:, None, None] * mref2[None]
-        mref1 = jnp.einsum("q,ql,qm->lm", qw, phi1, phi1)
-        mass_p1 = adet[:, None, None] * mref1[None] / self.nu
-
-        stiff_p1 = jnp.einsum("c,cld,cmd->clm", adet * jnp.sum(qw), g1, g1)
-
-        # divergence: D_a[l,j] = -adet_c * (sum_q qw phi1_ql dphi_qjk) Jinv_cka
-        R = jnp.einsum("q,ql,qjk->ljk", qw, phi1, dphi2)
-        div_all = -jnp.einsum("c,ljk,cka->clja", adet, R, Jinv)
-        div = [div_all[..., a] for a in range(self.dim)]
+        import contextlib
+        phi2 = self.phi2 if not on_cpu else put(self._host_tabs["phi2"])
 
         def asm_op(pat, elem):
-            vals = pat.assemble_values(elem)
+            vals = pat.assemble_values(elem, host=on_cpu)
             if out_dtype is not None:
                 # accumulate in assembler precision (f64), cast the RESULT:
                 # f32-accumulated sums carry ~2e-6 relative error, which
@@ -371,14 +381,38 @@ class NSAssembler:
                 # (eager init context) stays within HBM with the factored
                 # integrals
                 vals = jax.block_until_ready(vals.astype(out_dtype))
+            if on_cpu:
+                vals = jax.device_put(np.asarray(vals), tgt)
             return pat.matrix(vals)
 
-        L = asm_op(p2, visc)
-        D = tuple(asm_op(pdiv, da) for da in div)
-        DT = tuple(asm_op(pdivT, jnp.swapaxes(da, 1, 2)) for da in div)
-        Mp = asm_op(p1, mass_p1)
-        Ap = asm_op(p1, stiff_p1)
-        M2 = None if skip_m2 else asm_op(p2, mass_p2)
+        with (ctx if ctx is not None else contextlib.nullcontext()):
+            # viscous: adet_c * M_ckl * T_klij ; M = Jinv Jinv^T (metric),
+            # T_klij = sum_q qw dphi_qik dphi_qjl   (reference tensor)
+            M = jnp.einsum("ckd,cld->ckl", Jinv, Jinv)
+            T = jnp.einsum("q,qik,qjl->klij", qw, dphi2, dphi2)
+            visc = jnp.einsum("c,ckl,klij->cij", adet, M, T)
+
+            # masses: adet_c * (sum_q qw phi phi)
+            if not skip_m2:
+                mref2 = jnp.einsum("q,qi,qj->ij", qw, phi2, phi2)
+                mass_p2 = adet[:, None, None] * mref2[None]
+            mref1 = jnp.einsum("q,ql,qm->lm", qw, phi1, phi1)
+            mass_p1 = adet[:, None, None] * mref1[None] / self.nu
+
+            stiff_p1 = jnp.einsum("c,cld,cmd->clm", adet * jnp.sum(qw),
+                                  g1, g1)
+
+            # divergence: D_a[l,j] = -adet * (sum_q qw phi1 dphi_qjk) Jinv
+            R = jnp.einsum("q,ql,qjk->ljk", qw, phi1, dphi2)
+            div_all = -jnp.einsum("c,ljk,cka->clja", adet, R, Jinv)
+            div = [div_all[..., a] for a in range(self.dim)]
+
+            L = asm_op(p2, visc)
+            D = tuple(asm_op(pdiv, da) for da in div)
+            DT = tuple(asm_op(pdivT, jnp.swapaxes(da, 1, 2)) for da in div)
+            Mp = asm_op(p1, mass_p1)
+            Ap = asm_op(p1, stiff_p1)
+            M2 = None if skip_m2 else asm_op(p2, mass_p2)
         return ConstOperators(L=L, Mp=Mp, Ap=Ap, M2=M2, D=D, DT=DT)
 
     # ------------------------------------------------------------------ #

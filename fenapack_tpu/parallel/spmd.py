@@ -63,6 +63,30 @@ def pdot(a_loc, b_loc, axis: str):
     return jax.lax.psum(jnp.vdot(a_loc, b_loc), axis)
 
 
+def psum_minres_smooth(mv_local, dinv_loc, s_iters, b_loc, x_loc, axis: str):
+    """Distributed minimal-residual (GMRES-polynomial) smoother step.
+
+    The shard_map analogue of solvers.gmg._minres_smooth: Jacobi-scaled
+    Krylov directions from the shard-local matvec, tiny Gram system psum'd
+    over the mesh axis.  Robust on NONSYMMETRIC (convection-dominated)
+    operators where damped Jacobi diverges."""
+    r = b_loc - mv_local(x_loc)
+    z = dinv_loc * r
+    Zs, Ws = [], []
+    for _ in range(s_iters):
+        w = mv_local(z)
+        Zs.append(z)
+        Ws.append(w)
+        z = dinv_loc * w
+    W = jnp.stack(Ws)
+    Z = jnp.stack(Zs)
+    G = jax.lax.psum(W @ W.T, axis)
+    c = jax.lax.psum(W @ r, axis)
+    lam = 1e-7 * jnp.trace(G) / G.shape[0] + 1e-30
+    y = jnp.linalg.solve(G + lam * jnp.eye(G.shape[0], dtype=G.dtype), c)
+    return x_loc + Z.T @ y
+
+
 def pnorm(a_loc, axis: str):
     return jnp.sqrt(jax.lax.psum(jnp.vdot(a_loc, a_loc), axis))
 

@@ -262,3 +262,260 @@ class SPMDPressureGMG:
             return self.solve_local(b_loc, ops_loc)
 
         return jax.jit(lambda b: run(ops, b))
+
+
+# --------------------------------------------------------------------- #
+# velocity (P2 vector) GMG — wind-dependent level operators
+# --------------------------------------------------------------------- #
+
+class SPMDVelocityGMG:
+    """Sharded V-cycle for the velocity convection-diffusion block.
+
+    Mirrors :func:`solvers.gmg.make_velocity_gmg_from_wind` in shard_map
+    form: per-level RCM ring operators (relabeling PRECOMPUTED — per-step
+    operand rebuild is a cheap host value permutation), P2 transfers via
+    all-gathered coarse vectors (identity rows on surviving vertices +
+    coarse-basis midpoint stencils), psum'd minimal-residual smoothing
+    (the level operators are nonsymmetric), and a replicated dense coarse
+    inverse rebuilt with the wind.
+
+    Vectors are per-level u-space device-major: chunk i = [ux_i|uy_i(|uz_i)]
+    of the padded scalar spaces.  Currently Picard-only (no Newton reaction
+    coupling), matching parallel/spmd_pcd.py.
+    """
+
+    def __init__(self, vh, device_mesh: Mesh, *, axis: str = "dd",
+                 dtype=jnp.float64, smooth_iters: int = 4, cycles: int = 1):
+        self.vh = vh
+        self.mesh = device_mesh
+        self.axis = axis
+        self.dtype = dtype
+        self.smooth_iters = smooth_iters
+        self.cycles = cycles
+        n_dev = device_mesh.devices.size
+        self.n_dev = n_dev
+        self.d = vh.asms[0].dim
+        d = self.d
+
+        self.lv = []
+        for l, asm in enumerate(vh.asms):
+            n2 = asm.n2_real
+            rank = rcm_rank(np.asarray(asm.W.V.cell_dofs), n2)
+            n_pad = -(-n2 // n_dev) * n_dev
+            inv = np.argsort(rank)
+            pat = asm.pat_p2
+            cols = np.asarray(pat.cols)
+            used = np.zeros(pat.value_shape, dtype=bool).reshape(-1)
+            used[np.asarray(pat._upos)] = True
+            used = used.reshape(pat.value_shape)
+            K = cols.shape[1]
+            new_cols = np.zeros((n_pad, K), dtype=np.int32)
+            new_used = np.zeros((n_pad, K), dtype=bool)
+            nc_r = rank[cols[inv]]
+            new_cols[:n2] = np.where(used[inv], nc_r, 0)
+            new_used[:n2] = used[inv]
+            # identity padding rows
+            for i in range(n2, n_pad):
+                new_cols[i, 0] = i
+                new_used[i, 0] = True
+            ell = ELL(cols=jnp.asarray(new_cols),
+                      vals=jnp.asarray(new_used.astype(np.float64),
+                                       dtype=dtype), n_cols=n_pad)
+            ring = RingHaloELL(ell, n_dev, axis)
+            mask_nat = np.asarray(vh.masks[l])[:n2]
+            m = np.zeros(n_pad)
+            m[:n2] = mask_nat[inv]
+            m[n2:] = 1.0
+            loc = n_pad // n_dev
+            self.lv.append(dict(
+                asm=asm, n2=n2, n_pad=n_pad, loc=loc, rank=rank, inv=inv,
+                used=used, ring=ring, cols_ext=ring.cols_ext,
+                mask=jnp.asarray(self._u_dm_arr(np.concatenate([m] * d),
+                                                n_pad, loc), dtype),
+                mask_s=m, diag_pos=np.asarray(pat.diag_pos)))
+
+        # transfers: prolongation stencils in relabeled orderings
+        self.tr = []
+        for l, t in enumerate(vh.transfers):
+            fine, coarse = self.lv[l + 1], self.lv[l]
+            n2f, npf = fine["n2"], fine["n_pad"]
+            nb2 = np.asarray(t.mid_dofs).shape[1]
+            Pcols = np.zeros((npf, nb2), dtype=np.int32)
+            Pw = np.zeros((npf, nb2))
+            n_c = t.n_coarse
+            inv_f = fine["inv"]
+            mid_dofs = np.asarray(t.mid_dofs)
+            mid_w = np.asarray(t.mid_w)
+            for fpos in range(1):           # vectorized below
+                pass
+            nat = inv_f                      # fine natural id at each new pos
+            is_vert = nat < n_c
+            Pcols[:n2f][is_vert, 0] = coarse["rank"][nat[is_vert]]
+            Pw[:n2f][is_vert, 0] = 1.0
+            mids = nat[~is_vert] - n_c       # fine edge ids
+            Pcols[:n2f][~is_vert] = coarse["rank"][mid_dofs[mids]]
+            Pw[:n2f][~is_vert] = mid_w[mids]
+            self.tr.append((jnp.asarray(Pcols), jnp.asarray(Pw, dtype)))
+
+    def _u_dm_arr(self, stacked, n_pad, loc):
+        """Stacked (d*n_pad,) -> u-space device-major ([ux_0|uy_0|ux_1|...])."""
+        d, n_dev = self.d, self.n_dev
+        out = np.zeros(d * n_pad, dtype=np.asarray(stacked).dtype)
+        for a in range(d):
+            j = np.arange(n_pad)
+            dev = j // loc
+            out[dev * d * loc + a * loc + (j - dev * loc)] = \
+                stacked[a * n_pad + j]
+        return out
+
+    # ---------------------------------------------------------------- #
+    def build_operands(self, wind_fine_asm):
+        """Per-wind ring values + replicated dense coarse inverse.
+
+        ``wind_fine_asm``: stacked (d*n2_fine,) velocity in the FINE
+        assembler's natural ordering (numpy or device array)."""
+        d = self.d
+        rows = NamedSharding(self.mesh, P(self.axis))
+        wind = np.asarray(wind_fine_asm)
+        ops = {"levels": [], "coarse_inv": None}
+        for l in reversed(range(len(self.lv))):
+            lvd = self.lv[l]
+            asm = lvd["asm"]
+            n2 = lvd["n2"]
+            wl = wind if l == len(self.lv) - 1 else wind_c
+            if l > 0:
+                t = self.vh.transfers[l - 1]
+                nc = t.n_coarse
+                wind_c = np.concatenate(
+                    [wl[a * n2:a * n2 + nc] for a in range(d)])
+            A1 = np.asarray(asm.picard_matrix_values(
+                jnp.asarray(wl, self.dtype)))
+            vals = A1.reshape(-1)  # ELL layout (n2, K)
+            A1 = A1.reshape(lvd["used"].shape)
+            K = lvd["used"].shape[1]
+            n_pad = lvd["n_pad"]
+            nv = np.zeros((n_pad, K))
+            nv[:n2] = np.where(lvd["used"][lvd["inv"]], A1[lvd["inv"]], 0.0)
+            nv[n2:, 0] = 1.0
+            diag = np.zeros(n_pad)
+            dnat = A1.reshape(-1)[lvd["diag_pos"]]
+            diag[:n2] = dnat[lvd["inv"]]
+            diag[n2:] = 1.0
+            m = lvd["mask_s"]
+            diag = np.where(m > 0, 1.0, np.where(diag != 0, diag, 1.0))
+            dinv = self._u_dm_arr(np.concatenate([1.0 / diag] * d),
+                                  n_pad, lvd["loc"])
+            ops["levels"].insert(0, (
+                jax.device_put(jnp.asarray(nv, self.dtype), rows),
+                jax.device_put(lvd["cols_ext"], rows),
+                jax.device_put(jnp.asarray(dinv, self.dtype), rows),
+                jax.device_put(lvd["mask"], rows)))
+            if l == 0:
+                # replicated dense coarse inverse (block-diagonal over
+                # components; Picard operator is component-identical)
+                import scipy.sparse as sp
+                pat = asm.pat_p2
+                vals_nat = A1.reshape(-1)[np.asarray(pat._upos)]
+                Adense = sp.csr_matrix(
+                    (vals_nat, (pat._urow, pat._ucol)),
+                    shape=(pat.n_rows, pat.n_cols)).toarray()[:n2, :n2]
+                # relabel to the level ordering + pad identity
+                rk = lvd["rank"]
+                Ar = np.zeros((n_pad, n_pad))
+                Ar[np.ix_(rk, rk)] = Adense
+                for i in range(n2, n_pad):
+                    Ar[i, i] = 1.0
+                free = 1.0 - m
+                Ar = free[:, None] * Ar * free[None, :] + np.diag(m)
+                Ainv = np.linalg.inv(Ar)
+                ops["coarse_inv"] = jax.device_put(
+                    jnp.asarray(Ainv, self.dtype),
+                    NamedSharding(self.mesh, P()))
+        for l, (pc, pw) in enumerate(self.tr):
+            ops[f"P{l}"] = (jax.device_put(pc, rows),
+                            jax.device_put(pw, rows))
+        return ops
+
+    def operand_specs(self, ops):
+        specs = jax.tree.map(lambda x: P(self.axis), ops)
+        specs["coarse_inv"] = P()
+        return specs
+
+    # ---------------------------------------------------------------- #
+    # shard-local bodies (vectors: (d*loc,) per level)
+    # ---------------------------------------------------------------- #
+    def _mv(self, l, lops, x_loc):
+        vals, cols, dinv, mask = lops
+        ring = self.lv[l]["ring"]
+        d = self.d
+        loc = self.lv[l]["loc"]
+        free = 1.0 - mask
+        xf = free * x_loc
+        ys = [ring.mv_local(vals, cols, xf[a * loc:(a + 1) * loc])
+              for a in range(d)]
+        return free * jnp.concatenate(ys) + mask * x_loc
+
+    def _smooth(self, l, lops, b_loc, x_loc):
+        from .spmd import psum_minres_smooth
+        vals, cols, dinv, mask = lops
+        mv = lambda x: self._mv(l, lops, x)
+        for _ in range(max(1, self.smooth_iters // 4)):
+            x_loc = psum_minres_smooth(mv, dinv, 4, b_loc, x_loc, self.axis)
+        return x_loc
+
+    def _cycle(self, l, b_loc, ops):
+        lops = ops["levels"][l]
+        vals, cols, dinv, mask = lops
+        d = self.d
+        if l == 0:
+            # device-major gather -> per-component natural-RCM vectors
+            b_full = jax.lax.all_gather(b_loc, self.axis, tiled=True)
+            n_pad = self.lv[0]["n_pad"]
+            loc = self.lv[0]["loc"]
+            bf = b_full.reshape(self.n_dev, d, loc)
+            i = jax.lax.axis_index(self.axis)
+            out = []
+            for a in range(d):
+                comp = bf[:, a, :].reshape(n_pad)
+                x = ops["coarse_inv"] @ comp
+                out.append(jax.lax.dynamic_slice_in_dim(x, i * loc, loc))
+            return jnp.concatenate(out)
+        free = 1.0 - mask
+        x = self._smooth(l, lops, b_loc, jnp.zeros_like(b_loc))
+        r = free * (b_loc - self._mv(l, lops, x))
+
+        # restrict: per-component scatter into the full coarse vector + psum
+        # (transfer operands are row-sharded: they arrive shard-local)
+        Pc_loc, Pw_loc = ops[f"P{l - 1}"]
+        i = jax.lax.axis_index(self.axis)
+        loc_f = self.lv[l]["loc"]
+        npc = self.lv[l - 1]["n_pad"]
+        loc_c = self.lv[l - 1]["loc"]
+        _, _, _, mask_c = ops["levels"][l - 1]
+        rc_parts = []
+        for a in range(d):
+            ra = r[a * loc_f:(a + 1) * loc_f]
+            rc = jnp.zeros(npc, r.dtype).at[Pc_loc].add(Pw_loc * ra[:, None])
+            rc_parts.append(jax.lax.psum(rc, self.axis))
+        rc_loc = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(rc_parts[a], i * loc_c, loc_c)
+            for a in range(d)])
+        rc_loc = rc_loc * (1.0 - mask_c)
+
+        ec_loc = self._cycle(l - 1, rc_loc, ops)
+
+        # prolong: all-gather coarse correction per component, local stencil
+        ec_comp = [
+            jax.lax.all_gather(ec_loc[a * loc_c:(a + 1) * loc_c],
+                               self.axis, tiled=True) for a in range(d)]
+        up = [jnp.sum(Pw_loc * ec_comp[a][Pc_loc], axis=1) for a in range(d)]
+        x = x + free * jnp.concatenate(up)
+        return self._smooth(l, lops, b_loc, x)
+
+    def solve_local(self, b_loc, ops):
+        L = len(self.lv)
+        x = self._cycle(L - 1, b_loc, ops)
+        for _ in range(self.cycles - 1):
+            r = b_loc - self._mv(L - 1, ops["levels"][L - 1], x)
+            x = x + self._cycle(L - 1, r, ops)
+        return x
