@@ -82,6 +82,7 @@ class SPMDPCDSolver:
 
     def __init__(self, oseen, device_mesh: Mesh, *, axis: str = "dd",
                  ap_gmg: Optional[SPMDPressureGMG] = None,
+                 velocity_gmg=None,
                  cheb_velocity_iters: int = 8,
                  maxiter: int = 60, rtol: float = 1e-6):
         self.oseen = oseen
@@ -107,6 +108,7 @@ class SPMDPCDSolver:
         self.n_glob = n_dev * self.nloc
         self.cheb_velocity_iters = cheb_velocity_iters
         self.ap_gmg = ap_gmg
+        self.velocity_gmg = velocity_gmg
 
         # host-side pack/unpack index maps (assembler order <-> device-major)
         # global device-major index of scalar-P2 dof j: device i = j//loc2
@@ -152,6 +154,18 @@ class SPMDPCDSolver:
         self.DT_rings = [
             _FieldRing(c.DT[a], self.n2r, self.n2p, self.n1r, self.n1p,
                        n_dev, axis, dt) for a in range(self.d)]
+
+        if velocity_gmg is not None:
+            # the velocity GMG's fine layout must equal this solver's
+            # u-space layout: both RCM-rank the same natural P2 dofmap, so
+            # the orderings coincide by construction — verify.
+            lvf = velocity_gmg.lv[-1]
+            if (lvf["n_pad"] != self.n2p
+                    or not np.array_equal(lvf["rank"],
+                                          np.asarray(asm.W.V.rank))):
+                raise ValueError(
+                    "SPMD velocity GMG fine ordering does not match the "
+                    "solver's u-space layout (same mesh + RCM required)")
 
         # GMG ordering bridge: pressure ASSEMBLER order -> gmg fine order.
         # The outer assembler may itself be RCM-relabeled (reorder=True):
@@ -287,6 +301,11 @@ class SPMDPCDSolver:
             "mp_dinv": put(self.mp_dinv_dm),
         }
         self._a1_bounds = (float(lo), float(hi))
+        if self.velocity_gmg is not None:
+            ops["vgmg"] = self.velocity_gmg.build_operands(
+                np.concatenate([
+                    np.asarray(wind_asm)[a * asm.n2: a * asm.n2 + self.n2r]
+                    for a in range(self.d)]))
         if self.ap_gmg is not None:
             ops["gmg"] = self.ap_gmg.sharded_operands()
             ops["gmg_from_asm"] = jax.device_put(self._gmg_from_asm,
@@ -387,11 +406,18 @@ class SPMDPCDSolver:
 
         rounds = max(1, self.cheb_velocity_iters // 4)
 
-        def vel_solve(b):
-            x = jnp.zeros_like(b)
-            for _ in range(rounds):
-                x = _psum_minres(vel_mv, a1_dinv, 4, b, x)
-            return x
+        if self.velocity_gmg is not None:
+            vgmg = self.velocity_gmg
+            vgmg_ops = ops_loc["vgmg"]
+
+            def vel_solve(b):
+                return vgmg.solve_local(b, vgmg_ops)
+        else:
+            def vel_solve(b):
+                x = jnp.zeros_like(b)
+                for _ in range(rounds):
+                    x = _psum_minres(vel_mv, a1_dinv, 4, b, x)
+                return x
 
         def mp_solve(r):
             fp = 1.0 - p_pad
@@ -466,6 +492,8 @@ class SPMDPCDSolver:
         if self.ap_gmg is not None:
             ops_specs["gmg_from_asm"] = P()
             ops_specs["asm_from_gmg"] = P()
+        if self.velocity_gmg is not None:
+            ops_specs["vgmg"] = self.velocity_gmg.operand_specs(ops["vgmg"])
 
         @partial(shard_map, mesh=self.mesh, in_specs=(ops_specs, P(axis)),
                  out_specs=(P(axis), P(), P()))

@@ -128,3 +128,41 @@ def test_spmd_solve_converges_like_single_device(setup):
     r_true = np.asarray(-F - mv(x))
     rel = np.linalg.norm(r_true) / np.linalg.norm(np.asarray(F))
     assert rel < 5e-6, rel
+
+
+def test_spmd_solve_with_velocity_gmg(setup):
+    """Full explicit-SPMD path with GMG on BOTH blocks (config 5 shape)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from fenapack_tpu.parallel.spmd_gmg import SPMDVelocityGMG
+
+    nl, sp0 = setup
+    oseen = nl.oseen
+    dmesh = sp0.mesh
+    hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), 1)
+    vh = gmg.VelocityHierarchy(hier, 0.02, jnp.float64,
+                               bc_markers=[meshmod.WALL, meshmod.INFLOW])
+    vgmg = SPMDVelocityGMG(vh, dmesh, dtype=jnp.float64, smooth_iters=4,
+                           cycles=2)
+    ph = gmg.PressureHierarchy(hier, jnp.float64,
+                               pcd_markers=[meshmod.OUTFLOW])
+    ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                             smooth_iters=2, cycles=2)
+    sp = SPMDPCDSolver(oseen, dmesh, ap_gmg=ap_gmg, velocity_gmg=vgmg,
+                       maxiter=120, rtol=1e-6)
+
+    w = nl.initial_state()
+    F = nl._residual(w)
+    ops = sp.build_operands(w[:nl.n_u])
+    b_dm = sp.pack(np.asarray(-F[:nl.n_u]), np.asarray(-F[nl.n_u:]))
+    x_dm, iters, rn = sp.solve(ops, b_dm)
+    iters = int(iters)
+    assert iters < 120, iters
+
+    xu, xp = sp.unpack(np.asarray(x_dm))
+    x = jnp.asarray(np.concatenate([xu, xp]))
+    A1vals, R = oseen._operator_values(w[:nl.n_u])
+    mv = oseen._matvec_factory(A1vals, R)
+    r_true = np.asarray(-F - mv(x))
+    rel = np.linalg.norm(r_true) / np.linalg.norm(np.asarray(F))
+    assert rel < 5e-6, rel
