@@ -35,8 +35,6 @@ in interpret mode and on toolchains whose Mosaic supports general gathers.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -25,7 +25,7 @@ Validated against the single-device solver on the 8-device CPU mesh
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -384,8 +384,6 @@ class SPMDPCDSolver:
         # iterated minimal-residual polynomial (robust on the nonsymmetric
         # velocity block, where Chebyshev stalls — measured); all inner
         # Gram products are small dense (4x4), shard-safe via psum'd dots
-        from ..solvers.gmg import _minres_smooth
-
         def _psum_minres(mv, dinv, s_iters, b, x):
             r = b - mv(x)
             z = dinv * r

@@ -23,7 +23,6 @@ count (the ``-ksp_monitor`` observability of the reference, SURVEY.md 5.5).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

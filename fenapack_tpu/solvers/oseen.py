@@ -13,8 +13,7 @@ Monolithic vector layout: ``x = [u_x (n2); u_y (n2); p (n1)]``.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 import jax
