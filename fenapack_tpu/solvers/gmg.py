@@ -88,18 +88,33 @@ class P1Transfer:
     """
 
     def __init__(self, parents: np.ndarray, n_coarse: int, dtype,
-                 block_size=None):
-        self.pa = jnp.asarray(parents[:, 0].astype(np.int32))
-        self.pb = jnp.asarray(parents[:, 1].astype(np.int32))
+                 block_size=None, rank_fine=None, rank_coarse=None):
+        nf = parents.shape[0]
+        pa = parents[:, 0].astype(np.int64)
+        pb = parents[:, 1].astype(np.int64)
+        if rank_fine is not None or rank_coarse is not None:
+            # RCM-relabeled levels (block-sparse layouts at scale): the
+            # stencil arrays are indexed by NEW fine ids and reference NEW
+            # coarse ids — the transfer formulas below are unchanged
+            rf = (np.asarray(rank_fine) if rank_fine is not None
+                  else np.arange(nf))
+            rc = (np.asarray(rank_coarse) if rank_coarse is not None
+                  else np.arange(n_coarse))
+            pa_r = np.empty(nf, dtype=np.int64)
+            pb_r = np.empty(nf, dtype=np.int64)
+            pa_r[rf] = rc[pa]
+            pb_r[rf] = rc[pb]
+            pa, pb = pa_r, pb_r
+        self.pa = jnp.asarray(pa.astype(np.int32))
+        self.pb = jnp.asarray(pb.astype(np.int32))
         self.n_coarse = n_coarse
-        self.n_fine = parents.shape[0]
+        self.n_fine = nf
         self.dtype = dtype
         self._P = self._PT = None
         if block_size:
             from ..ops.sparse import BlockSparsityPattern
-            nf = self.n_fine
             rows = np.arange(nf, dtype=np.int64).repeat(2)
-            cols = parents.astype(np.int64).ravel()
+            cols = np.stack([pa, pb], axis=1).ravel()
             vals = jnp.full(2 * nf, 0.5, dtype=dtype)
             pat = BlockSparsityPattern(rows, cols, nf, n_coarse,
                                        block=block_size)
@@ -223,18 +238,21 @@ class PressureHierarchy:
     def __init__(self, hier: MeshHierarchy, dtype,
                  pcd_markers: Sequence[int] = (),
                  fine_n1: Optional[int] = None,
-                 block_size: Optional[int] = None):
+                 block_size: Optional[int] = None,
+                 reorder: bool = False):
         from ..fem.assemble import NSAssembler     # cycle-free at runtime
         self.hier = hier
         self.dtype = dtype
         self.levels = []
         self.transfers = []
         self.fine_n1 = fine_n1
+        self.reorder = reorder
+        q_ranks = []
         for l, mesh in enumerate(hier.meshes):
-            # natural dof ordering: the P1 transfers are parent-vertex
-            # gathers, which assume unrelabeled vertex ids
+            # reorder=True: per-level RCM relabeling (block-sparse layouts
+            # at scale); the transfers compose with the level ranks
             asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2,
-                              block_size=block_size, reorder=False)
+                              block_size=block_size, reorder=reorder)
             Ap = asm.const.Ap.with_vals(asm.const.Ap.vals.astype(dtype))
             if pcd_markers:
                 dofs = asm.W.Q.facet_dofs(list(pcd_markers))
@@ -244,10 +262,12 @@ class PressureHierarchy:
             else:
                 mask = None
             self.levels.append((asm, Ap, mask))
+            q_ranks.append(np.asarray(asm.W.Q.rank) if reorder else None)
             if l > 0:
                 self.transfers.append(P1Transfer(
                     hier.parents[l - 1], hier.meshes[l - 1].num_vertices,
-                    dtype, block_size=block_size))
+                    dtype, block_size=block_size,
+                    rank_fine=q_ranks[l], rank_coarse=q_ranks[l - 1]))
 
 
 def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
@@ -314,7 +334,8 @@ class P2Transfer:
     of its parent cell, precomputed on the host.
     """
 
-    def __init__(self, coarse, fine, dtype, block_size=None):
+    def __init__(self, coarse, fine, dtype, block_size=None,
+                 rank_fine=None, rank_coarse=None):
         d = coarse.vertices.shape[1]
         nv_f, ne_f = fine.num_vertices, fine.num_edges
         self.n_coarse = coarse.num_vertices + coarse.num_edges   # == nv_f
@@ -351,8 +372,30 @@ class P2Transfer:
         nv_c = coarse.num_vertices
         cdofs = np.concatenate([coarse.cells[parent],
                                 nv_c + coarse.cell_edges[parent]], axis=1)
-        self.mid_dofs = jnp.asarray(cdofs.astype(np.int32))   # (ne_f, nb2)
-        self.mid_w = jnp.asarray(phi, dtype=dtype)
+
+        self._relabeled = rank_fine is not None or rank_coarse is not None
+        rf = (np.asarray(rank_fine) if rank_fine is not None
+              else np.arange(self.n_fine))
+        rc = (np.asarray(rank_coarse) if rank_coarse is not None
+              else np.arange(self.n_coarse))
+        if self._relabeled:
+            # explicit prolongation stencils indexed by NEW fine ids:
+            # surviving vertices get an identity entry, midpoints the
+            # coarse-basis weights; inject is a plain gather
+            Pcols = np.zeros((self.n_fine, nb2), dtype=np.int64)
+            Pw = np.zeros((self.n_fine, nb2))
+            Pcols[rf[:nv_f], 0] = rc[np.arange(nv_f)]
+            Pw[rf[:nv_f], 0] = 1.0
+            Pcols[rf[nv_f:]] = rc[cdofs]
+            Pw[rf[nv_f:]] = phi
+            self._Pcols = jnp.asarray(Pcols.astype(np.int32))
+            self._Pw = jnp.asarray(Pw, dtype=dtype)
+            inj = np.empty(self.n_coarse, dtype=np.int64)
+            inj[rc[np.arange(nv_f)]] = rf[:nv_f]
+            self._inj = jnp.asarray(inj.astype(np.int32))
+        else:
+            self.mid_dofs = jnp.asarray(cdofs.astype(np.int32))  # (ne_f,nb2)
+            self.mid_w = jnp.asarray(phi, dtype=dtype)
 
         self._P = self._PT = None
         if self._block_size:
@@ -360,10 +403,10 @@ class P2Transfer:
             # identity rows for fine vertices + basis-weight midpoint rows
             from ..ops.sparse import BlockSparsityPattern
             nc = self.n_coarse
-            rows = np.concatenate([np.arange(nv_f, dtype=np.int64),
-                                   (nv_f + np.arange(ne_f)).repeat(nb2)])
-            cols = np.concatenate([np.arange(nv_f, dtype=np.int64),
-                                   cdofs.astype(np.int64).ravel()])
+            rows = np.concatenate([rf[:nv_f].astype(np.int64),
+                                   rf[nv_f:].astype(np.int64).repeat(nb2)])
+            cols = np.concatenate([rc[np.arange(nv_f)].astype(np.int64),
+                                   rc[cdofs].astype(np.int64).ravel()])
             vals = jnp.concatenate([jnp.ones(nv_f, dtype),
                                     jnp.asarray(phi, dtype).ravel()])
             pat = BlockSparsityPattern(rows, cols, self.n_fine, nc,
@@ -376,18 +419,25 @@ class P2Transfer:
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
         if self._P is not None:
             return self._P.mv(xc)
+        if self._relabeled:
+            return jnp.sum(self._Pw * xc[self._Pcols], axis=1)
         mid = jnp.sum(self.mid_w * xc[self.mid_dofs], axis=1)
         return jnp.concatenate([xc, mid])
 
     def restrict(self, rf: jnp.ndarray) -> jnp.ndarray:
         if self._PT is not None:
             return self._PT.mv(rf)
+        if self._relabeled:
+            z = jnp.zeros(self.n_coarse, rf.dtype)
+            return z.at[self._Pcols].add(self._Pw * rf[:, None])
         z = rf[:self.n_coarse]
         upd = self.mid_w * rf[self.n_coarse:, None]
         return z.at[self.mid_dofs].add(upd)
 
     def inject(self, xf: jnp.ndarray) -> jnp.ndarray:
         """Fine P2 -> coarse P2 by point evaluation (for the wind)."""
+        if self._relabeled:
+            return xf[self._inj]
         return xf[:self.n_coarse]
 
 
@@ -401,7 +451,8 @@ class VelocityHierarchy:
 
     def __init__(self, hier: MeshHierarchy, nu: float, dtype,
                  bc_markers: Sequence[int] = (), fine_asm=None,
-                 block_size: Optional[int] = None):
+                 block_size: Optional[int] = None,
+                 reorder: Optional[bool] = None):
         from ..fem.assemble import NSAssembler
         self.hier = hier
         self.nu = nu
@@ -409,27 +460,34 @@ class VelocityHierarchy:
         self.asms = []
         self.masks = []          # scalar-space masks (n2,)
         self.transfers = []
-        if fine_asm is not None and getattr(fine_asm.W, "reorder", False):
+        if reorder is None:
+            reorder = (fine_asm is not None
+                       and bool(getattr(fine_asm.W, "reorder", False)))
+        if fine_asm is not None and bool(
+                getattr(fine_asm.W, "reorder", False)) != reorder:
             raise ValueError(
-                "velocity GMG requires natural dof ordering (the P2 "
-                "transfers use the 'P2 dofs == fine vertices' identity); "
-                "build the assembler with reorder=False")
+                "velocity GMG ordering mismatch: fine_asm reorder="
+                f"{getattr(fine_asm.W, 'reorder', False)} but hierarchy "
+                f"reorder={reorder}")
+        self.reorder = reorder
+        v_ranks = []
         last = len(hier.meshes) - 1
         for l, mesh in enumerate(hier.meshes):
             if l == last and fine_asm is not None:
                 asm = fine_asm          # the solver's own (maybe padded) asm
             else:
                 asm = NSAssembler(mesh, nu=nu, dtype=dtype, quad_degree=4,
-                                  block_size=block_size, reorder=False)
+                                  block_size=block_size, reorder=reorder)
             self.asms.append(asm)
+            v_ranks.append(np.asarray(asm.W.V.rank) if reorder else None)
             m = np.zeros(asm.n2)
             if bc_markers:
                 m[asm.W.V.facet_dofs(list(bc_markers))] = 1.0
             self.masks.append(jnp.asarray(m, dtype=dtype))
             if l > 0:
-                self.transfers.append(P2Transfer(hier.meshes[l - 1], mesh,
-                                                 dtype,
-                                                 block_size=block_size))
+                self.transfers.append(P2Transfer(
+                    hier.meshes[l - 1], mesh, dtype, block_size=block_size,
+                    rank_fine=v_ranks[l], rank_coarse=v_ranks[l - 1]))
 
 
 class _VectorTransfer:

@@ -187,10 +187,14 @@ class OseenSolver:
                                                  cfg.iters)
             return factory
         if cfg.method == "gmg":
-            if getattr(self.asm.W, "reorder", False):
+            if bool(getattr(self.asm.W, "reorder", False)) != bool(
+                    getattr(hierarchy, "reorder", False)):
                 raise ValueError(
-                    "pressure GMG requires natural dof ordering "
-                    "(build the assembler with reorder=False)")
+                    "pressure GMG ordering mismatch: assembler reorder="
+                    f"{getattr(self.asm.W, 'reorder', False)} but "
+                    f"hierarchy reorder={getattr(hierarchy, 'reorder', 0)}"
+                    " — build both with the same flag (the per-level RCM"
+                    " orderings are deterministic and coincide)")
             from .gmg import make_gmg_solver
             solve = make_gmg_solver(hierarchy, cfg, self.dtype, bc_mask=mask)
             return lambda: solve
