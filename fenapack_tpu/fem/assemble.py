@@ -436,6 +436,63 @@ class NSAssembler:
         elem = self.adet[:, None, None] * mref[None]
         return self._pats(hi)[0].assemble_values(elem)
 
+
+    # ------------------------------------------------------------------ #
+    # flat-shape per-step assembly (TPU layout-friendly)
+    # ------------------------------------------------------------------ #
+    @property
+    def _flat(self):
+        """Host-precomputed tables for the FLAT (2D, big-last-dim) per-step
+        assembly path.
+
+        The einsum forms materialize (nc, nq, d)/(nc, nb, nb)-shaped
+        intermediates whose tiny trailing dims suffer 6-57x TPU tile
+        padding (measured: the config-4 2M-DoF solve program needs 17.8 GB
+        of which 81% is padding).  The flat path keeps every per-cell array
+        2D with a >=30-wide last dim (pad <= 4x) and turns the quadrature
+        contractions into plain (nc, M) @ (M, N) matmuls.
+        """
+        if getattr(self, "_flat_tabs", None) is None:
+            h = self._host_tabs
+            d, nq, nb2, nb1 = self.dim, self.nq, self.nb2, self.nb1
+            phi2, dphi2, phi1 = h["phi2"], h["dphi2"], h["phi1"]
+            # uq: (nc, d*nb2) @ P -> (nc, nq*d); P[(a,i),(q,b)] = phi2 d_ab
+            P = np.zeros((d * nb2, nq * d))
+            for a in range(d):
+                for i in range(nb2):
+                    for q in range(nq):
+                        P[a * nb2 + i, q * d + a] = phi2[q, i]
+            # conv: elem_(ij) = t_(q,k) @ B2[(q,k),(i,j)],
+            #   B2 = phi2_qi * dphi2_qjk
+            B2 = np.zeros((nq * d, nb2 * nb2))
+            for q in range(nq):
+                for k in range(d):
+                    B2[q * d + k] = np.outer(phi2[q], dphi2[q, :, k]).ravel()
+            # kp: elem_(lm) = v_(q,m) @ B1 with v = uq . g1;
+            #   B1[(q,m),(l,m')] = phi1_ql delta_mm'
+            B1 = np.zeros((nq * nb1, nb1 * nb1))
+            for q in range(nq):
+                for m in range(nb1):
+                    for l in range(nb1):
+                        B1[q * nb1 + m, l * nb1 + m] = phi1[q, l]
+            Jf = h["Jinv"].reshape(self.nc, d * d)       # (nc, d*d)
+            g1f = h["g1"].reshape(self.nc, nb1 * d)      # (nc, nb1*d)
+            # cache as NumPy; jnp constants created inside a trace would
+            # leak tracers (cf. SparsityPattern.to_dense)
+            self._flat_tabs = dict(P=P, B2=B2, B1=B1, Jf=Jf, g1f=g1f)
+        return {k: jnp.asarray(v, self.dtype)
+                for k, v in self._flat_tabs.items()}
+
+    def _u_cell_flat(self, u):
+        """(nc, d*nb2) per-cell velocity dofs (flat layout)."""
+        comps = self.split_u(u)
+        return jnp.concatenate([c[self.cd2] for c in comps], axis=1)
+
+    def _uq_flat(self, u, w):
+        """(nc, nq*d) wind at quadrature points, flat layout."""
+        tabs = self._flat
+        return self._u_cell_flat(u) @ w(tabs["P"])
+
     def convection_values(self, u: jnp.ndarray, hi: bool = False,
                           compute32: bool = False) -> jnp.ndarray:
         """Scalar convection N(w) values: N[i,j] = int (w.grad phi_j) phi_i.
@@ -451,10 +508,22 @@ class NSAssembler:
         """
         cd = jnp.float32 if compute32 else None
         w = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
-        uq = jnp.einsum("qi,cid->cqd", w(self.phi2), w(self.u_cell(u)))
-        t = jnp.einsum("cq,cqd,ckd->cqk", w(self.wdet), uq, w(self.Jinv))
-        B = jnp.einsum("qi,qjk->qijk", w(self.phi2), w(self.dphi2))
-        elem = jnp.einsum("cqk,qijk->cij", t, B)
+        d, nq = self.dim, self.nq
+        tabs = self._flat
+        uqf = w(self._uq_flat(u, w))                      # (nc, nq*d)
+        wdet = w(self.wdet)                               # (nc, nq)
+        Jf = w(tabs["Jf"])                                # (nc, d*d)
+        # t[(q,k)] = wdet_q * sum_b uq_(q,b) Jinv_(k,b) — d*d elementwise
+        # passes over (nc, nq) slices, all 2D
+        cols = []
+        for k in range(d):
+            acc = 0.0
+            for b in range(d):
+                acc = acc + uqf[:, b::d] * Jf[:, k * d + b, None]
+            cols.append(wdet * acc)
+        # interleave to (nc, nq*d) with (q, k) C-order
+        t = jnp.stack(cols, axis=2).reshape(uqf.shape[0], nq * d)
+        elem = t @ w(tabs["B2"])                          # (nc, nb2*nb2)
         vals = self._pats(hi)[0].assemble_values(elem)
         return vals.astype(self.dtype) if cd is not None else vals
 
@@ -481,10 +550,20 @@ class NSAssembler:
     def kp_values(self, u: jnp.ndarray, surface: bool = False) -> jnp.ndarray:
         """Pressure convection Kp = (1/nu) int (w.grad p) q dx
         [+ BRM2 inflow surface term when ``surface``]."""
-        uq = self.wind_at_quad(u)
-        v = jnp.einsum("cqd,cmd->cqm", uq, self.g1)        # (nc,nq,nb1)
-        elem = jnp.einsum("cq,ql,cqm->clm", self.wdet, self.phi1,
-                          v) / self.nu
+        d, nq, nb1 = self.dim, self.nq, self.nb1
+        tabs = self._flat
+        ident = lambda x: x
+        uqf = self._uq_flat(u, ident)                      # (nc, nq*d)
+        g1f = tabs["g1f"].astype(uqf.dtype)                # (nc, nb1*d)
+        # v[(q,m)] = wdet_q * sum_d uq_(q,d) g1_(m,d) — flat elementwise
+        cols = []
+        for m in range(nb1):
+            acc = 0.0
+            for b in range(d):
+                acc = acc + uqf[:, b::d] * g1f[:, m * d + b, None]
+            cols.append(self.wdet.astype(uqf.dtype) * acc)
+        v = jnp.stack(cols, axis=2).reshape(uqf.shape[0], nq * nb1)
+        elem = (v @ tabs["B1"].astype(uqf.dtype)) / self.nu  # (nc, nb1*nb1)
         vals = self.pat_p1.assemble_values(elem)
         if surface and self.n_inflow_facets:
             comps = self.split_u(u)
