@@ -508,6 +508,17 @@ class NSAssembler:
         """
         cd = jnp.float32 if compute32 else None
         w = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
+        import os as _os
+        if _os.environ.get("FENAPACK_FLAT_ASM", "1") != "1":
+            # einsum fallback (FENAPACK_FLAT_ASM=0): for bisecting backend
+            # issues with the flat path
+            uq = jnp.einsum("qi,cid->cqd", w(self.phi2), w(self.u_cell(u)))
+            t = jnp.einsum("cq,cqd,ckd->cqk", w(self.wdet), uq,
+                           w(self.Jinv))
+            B = jnp.einsum("qi,qjk->qijk", w(self.phi2), w(self.dphi2))
+            elem = jnp.einsum("cqk,qijk->cij", t, B)
+            vals = self._pats(hi)[0].assemble_values(elem)
+            return vals.astype(self.dtype) if cd is not None else vals
         d, nq = self.dim, self.nq
         tabs = self._flat
         uqf = w(self._uq_flat(u, w))                      # (nc, nq*d)
@@ -550,6 +561,14 @@ class NSAssembler:
     def kp_values(self, u: jnp.ndarray, surface: bool = False) -> jnp.ndarray:
         """Pressure convection Kp = (1/nu) int (w.grad p) q dx
         [+ BRM2 inflow surface term when ``surface``]."""
+        import os as _os
+        if _os.environ.get("FENAPACK_FLAT_ASM", "1") != "1":
+            uq = self.wind_at_quad(u)
+            v = jnp.einsum("cqd,cmd->cqm", uq, self.g1)
+            elem = jnp.einsum("cq,ql,cqm->clm", self.wdet, self.phi1,
+                              v) / self.nu
+            vals = self.pat_p1.assemble_values(elem)
+            return self._kp_surface(vals, u) if surface else vals
         d, nq, nb1 = self.dim, self.nq, self.nb1
         tabs = self._flat
         ident = lambda x: x
@@ -565,16 +584,20 @@ class NSAssembler:
         v = jnp.stack(cols, axis=2).reshape(uqf.shape[0], nq * nb1)
         elem = (v @ tabs["B1"].astype(uqf.dtype)) / self.nu  # (nc, nb1*nb1)
         vals = self.pat_p1.assemble_values(elem)
-        if surface and self.n_inflow_facets:
-            comps = self.split_u(u)
-            ucell = jnp.stack([c[self.f_cd2] for c in comps], axis=-1)
-            uq_f = jnp.einsum("fqi,fid->fqd", self.f_phi2, ucell)
-            un = jnp.einsum("fqd,fd->fq", uq_f, self.f_normals)
-            elem_s = -jnp.einsum("fq,fq,fql,fqm->flm", self.f_wlen, un,
-                                 self.f_phi1, self.f_phi1) / self.nu
-            flat = vals.reshape(-1).at[self.kp_surf_pos].add(elem_s.ravel())
-            vals = flat.reshape(vals.shape)
-        return vals
+        return self._kp_surface(vals, u) if surface else vals
+
+    def _kp_surface(self, vals, u):
+        """BRM2 inflow surface term added into the volume Kp values."""
+        if not self.n_inflow_facets:
+            return vals
+        comps = self.split_u(u)
+        ucell = jnp.stack([c[self.f_cd2] for c in comps], axis=-1)
+        uq_f = jnp.einsum("fqi,fid->fqd", self.f_phi2, ucell)
+        un = jnp.einsum("fqd,fd->fq", uq_f, self.f_normals)
+        elem_s = -jnp.einsum("fq,fq,fql,fqm->flm", self.f_wlen, un,
+                             self.f_phi1, self.f_phi1) / self.nu
+        flat = vals.reshape(-1).at[self.kp_surf_pos].add(elem_s.ravel())
+        return flat.reshape(vals.shape)
 
     def supg_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
         """Streamline-diffusion (SUPG) stabilization element values.
