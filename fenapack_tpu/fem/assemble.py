@@ -612,16 +612,54 @@ class NSAssembler:
             Pe_c   = |w|_c h_c / (2 nu)        (cell Peclet number)
             delta  = h_c / (2 |w|_c) * (1 - 1/Pe_c)   if Pe_c > 1 else 0
         """
-        uq = self.wind_at_quad(u)
-        umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
+        import os as _os
+        d, nq, nb2 = self.dim, self.nq, self.nb2
+        if _os.environ.get("FENAPACK_FLAT_ASM", "1") != "1":
+            uq = self.wind_at_quad(u)
+            umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))
+            h = self.h_cell[:, None]
+            safe_u = jnp.maximum(umag, 1e-30)
+            pe = safe_u * h / (2.0 * self.nu)
+            delta = jnp.where(pe > 1.0,
+                              h / (2.0 * safe_u) * (1.0 - 1.0 / pe), 0.0)
+            s = jnp.einsum("cqd,ckd->cqk", uq, self.Jinv)
+            wg = jnp.einsum("cqk,qik->cqi", s, self.dphi2)
+            elem = jnp.einsum("cq,cq,cqi,cqj->cij", self.wdet, delta, wg, wg)
+            return self._pats(hi)[0].assemble_values(elem)
+        # FLAT path (2D big-last-dim shapes; see convection_values)
+        tabs = self._flat
+        ident = lambda x: x
+        uqf = self._uq_flat(u, ident)                      # (nc, nq*d)
+        # |u| per (c, q) and the SD parameter delta
+        umag2 = 0.0
+        for b in range(d):
+            ub = uqf[:, b::d]
+            umag2 = umag2 + ub * ub
+        umag = jnp.sqrt(umag2)                             # (nc, nq)
         h = self.h_cell[:, None]
         safe_u = jnp.maximum(umag, 1e-30)
         pe = safe_u * h / (2.0 * self.nu)
         delta = jnp.where(pe > 1.0, h / (2.0 * safe_u) * (1.0 - 1.0 / pe),
                           0.0)
-        s = jnp.einsum("cqd,ckd->cqk", uq, self.Jinv)
-        wg = jnp.einsum("cqk,qik->cqi", s, self.dphi2)
-        elem = jnp.einsum("cq,cq,cqi,cqj->cij", self.wdet, delta, wg, wg)
+        # s_(q,k) = sum_b uq_(q,b) Jinv_(k,b); wg_(q,i) = sum_k s_(q,k)
+        # dphi2[q,i,k] — per-q fixed tables, all (nc, X) elementwise
+        Jf = tabs["Jf"].astype(uqf.dtype)
+        dphi2 = self._host_tabs["dphi2"]
+        sw = self.wdet.astype(uqf.dtype) * delta           # (nc, nq)
+        elem = 0.0
+        for q in range(nq):
+            s_k = []
+            for k in range(d):
+                sk = 0.0
+                for b in range(d):
+                    sk = sk + uqf[:, q * d + b] * Jf[:, k * d + b]
+                s_k.append(sk)
+            wg_cols = [sum(float(dphi2[q, i, k]) * s_k[k] for k in range(d))
+                       for i in range(nb2)]
+            wgq = jnp.stack(wg_cols, axis=1)               # (nc, nb2)
+            outer = wgq[:, :, None] * wgq[:, None, :]
+            elem = elem + sw[:, q, None] * outer.reshape(
+                uqf.shape[0], nb2 * nb2)
         return self._pats(hi)[0].assemble_values(elem)
 
     # ------------------------------------------------------------------ #
