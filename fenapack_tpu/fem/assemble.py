@@ -475,11 +475,25 @@ class NSAssembler:
                 for m in range(nb1):
                     for l in range(nb1):
                         B1[q * nb1 + m, l * nb1 + m] = phi1[q, l]
+            # newton reaction: du_(q,a,k) = ucell_flat @ Pg,
+            #   Pg[(a,i), (q*d+a)*d+k] = dphi2[q,i,k]
+            Pg = np.zeros((d * nb2, nq * d * d))
+            for a in range(d):
+                for i in range(nb2):
+                    for q in range(nq):
+                        for k in range(d):
+                            Pg[a * nb2 + i, (q * d + a) * d + k] = \
+                                dphi2[q, i, k]
+            # Bp[(q), (i,j)] = phi2_qi phi2_qj (mass-like q-contraction)
+            Bp = np.zeros((nq, nb2 * nb2))
+            for q in range(nq):
+                Bp[q] = np.outer(phi2[q], phi2[q]).ravel()
             Jf = h["Jinv"].reshape(self.nc, d * d)       # (nc, d*d)
             g1f = h["g1"].reshape(self.nc, nb1 * d)      # (nc, nb1*d)
             # cache as NumPy; jnp constants created inside a trace would
             # leak tracers (cf. SparsityPattern.to_dense)
-            self._flat_tabs = dict(P=P, B2=B2, B1=B1, Jf=Jf, g1f=g1f)
+            self._flat_tabs = dict(P=P, B2=B2, B1=B1, Pg=Pg, Bp=Bp,
+                                   Jf=Jf, g1f=g1f)
         return {k: jnp.asarray(v, self.dtype)
                 for k, v in self._flat_tabs.items()}
 
@@ -543,20 +557,44 @@ class NSAssembler:
         """(d,d,*value_shape) values of R_ab[i,j] = int phi_j (d_b u_a) phi_i.
 
         ``compute32``: see :meth:`convection_values`."""
-        d = self.dim
+        d, nq, nb2 = self.dim, self.nq, self.nb2
         pat = self._pats(hi)[0]
         cd = jnp.float32 if compute32 else None
         w = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
-        # gradu (nc,nq,d,d): small; factored as (u_cell . dphi) . Jinv
-        U = jnp.einsum("cia,qik->cqak", w(self.u_cell(u)), w(self.dphi2))
-        gradu = jnp.einsum("cqak,ckb->cqab", U, w(self.Jinv))
-        P = jnp.einsum("qi,qj->qij", w(self.phi2), w(self.phi2))
-        elem = jnp.einsum("cq,cqab,qij->abcij", w(self.wdet), gradu, P)
-        flat = elem.reshape(d * d, -1)
-        vals = jax.vmap(pat.assemble_values)(flat)
-        if cd is not None:
-            vals = vals.astype(self.dtype)
-        return vals.reshape((d, d) + pat.value_shape)
+        import os as _os
+        if _os.environ.get("FENAPACK_FLAT_ASM", "1") != "1":
+            # einsum fallback: (nc, nq, d, d) intermediates
+            U = jnp.einsum("cia,qik->cqak", w(self.u_cell(u)),
+                           w(self.dphi2))
+            gradu = jnp.einsum("cqak,ckb->cqab", U, w(self.Jinv))
+            P = jnp.einsum("qi,qj->qij", w(self.phi2), w(self.phi2))
+            elem = jnp.einsum("cq,cqab,qij->abcij", w(self.wdet), gradu, P)
+            flat = elem.reshape(d * d, -1)
+            vals = jax.vmap(pat.assemble_values)(flat)
+            if cd is not None:
+                vals = vals.astype(self.dtype)
+            return vals.reshape((d, d) + pat.value_shape)
+        # FLAT path: du = ucell_flat @ Pg, then per-(a, b) (nc, nq) slices
+        tabs = self._flat
+        ucf = w(self._u_cell_flat(u))
+        du = ucf @ w(tabs["Pg"])                         # (nc, nq*d*d)
+        Jf = w(tabs["Jf"])
+        wdet = w(self.wdet)
+        Bp = w(tabs["Bp"])
+        outs = []
+        for a in range(d):
+            for b in range(d):
+                gu = 0.0
+                for k in range(d):
+                    # du column ((q*d + a)*d + k), stride d*d over q
+                    gu = gu + du[:, a * d + k::d * d] * Jf[:, k * d + b,
+                                                           None]
+                elem = (wdet * gu) @ Bp                  # (nc, nb2*nb2)
+                vals = pat.assemble_values(elem)
+                if cd is not None:
+                    vals = vals.astype(self.dtype)
+                outs.append(vals)
+        return jnp.stack(outs).reshape((d, d) + pat.value_shape)
 
     def kp_values(self, u: jnp.ndarray, surface: bool = False) -> jnp.ndarray:
         """Pressure convection Kp = (1/nu) int (w.grad p) q dx
