@@ -110,3 +110,70 @@ def ell_spmv(ell, x, tile_r: int = 256, interpret: bool = False):
     """One-shot Pallas ELL SpMV (pads per call — prefer :class:`PallasSpMV`
     inside solvers)."""
     return PallasSpMV(ell, tile_r=tile_r, interpret=interpret)(x)
+
+
+# --------------------------------------------------------------------- #
+# block-sparse-row SpMV kernel (flat tiles)
+# --------------------------------------------------------------------- #
+#
+# Unlike the arbitrary-column ELL gather (Mosaic-blocked, see module
+# docstring), the BSR gather is BY BLOCK: the kernel reads each neighbor
+# block of x with a scalar-indexed dynamic slice (supported), so the whole
+# SpMV streams the tile array at HBM bandwidth while x stays VMEM-resident.
+# Layout matches ops.sparse.BlockELL flat tiles (nb, b, m*b).
+
+def _bsr_kernel(nbr_ref, tiles_ref, x_ref, out_ref):
+    R, b, mb = tiles_ref.shape
+    m = mb // b
+    i = pl.program_id(0)
+    for r in range(R):                       # static unroll over panel rows
+        g = jnp.concatenate(
+            [x_ref[pl.ds(nbr_ref[i * R + r, j], 1), :][0]
+             for j in range(m)])
+        out_ref[r, :] = jnp.dot(tiles_ref[r], g,
+                                preferred_element_type=out_ref.dtype)
+
+
+class PallasBSRSpMV:
+    """Pallas kernel for :class:`ops.sparse.BlockELL` (flat tiles).
+
+    ``op = PallasBSRSpMV(block_ell)`` at setup; ``op(x)`` inside jit.
+    ``rows_per_step`` block rows are processed per grid step (their tiles
+    stream through VMEM; the neighbor ids ride in SMEM).
+    """
+
+    def __init__(self, bell, rows_per_step: int = 8,
+                 interpret: bool = False):
+        nb, b, mb = bell.tiles.shape
+        self.bell = bell
+        self.b = b
+        R = rows_per_step
+        while nb % R:
+            R //= 2
+        self.R = max(R, 1)
+        self.interpret = interpret
+        ncb = -(-bell.n_cols // b) * b
+        self.ncb = ncb
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        bell, b, R = self.bell, self.b, self.R
+        nb, _, mb = bell.tiles.shape
+        xb = jnp.pad(x, (0, self.ncb - bell.n_cols)).reshape(-1, b)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb // R,),
+            in_specs=[
+                pl.BlockSpec((R, b, mb), lambda i, nbr: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x whole
+            ],
+            out_specs=pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        y = pl.pallas_call(
+            _bsr_kernel,
+            out_shape=jax.ShapeDtypeStruct((nb, b), bell.tiles.dtype),
+            grid_spec=grid_spec,
+            interpret=self.interpret,
+        )(bell.nbr, bell.tiles, xb)
+        return y.reshape(-1)[:bell.n_rows]
