@@ -227,6 +227,9 @@ class NSAssembler:
             self.pat_p2_hi, self.pat_p1_hi = self.pat_p2, self.pat_p1
             self.pat_div_hi, self.pat_divT_hi = self.pat_div, self.pat_divT
 
+        # flat-assembly tables: EAGER build (host context) — see _flat
+        _ = self._flat
+
         # --- boundary facet data for surface integrals --------------------
         self._setup_facets(inflow_marker)
 
@@ -451,7 +454,15 @@ class NSAssembler:
         of which 81% is padding).  The flat path keeps every per-cell array
         2D with a >=30-wide last dim (pad <= 4x) and turns the quadrature
         contractions into plain (nc, M) @ (M, N) matmuls.
+
+        Device tables are created EAGERLY on first host-side access (never
+        inside a trace: trace-created constants become TypedNdArray
+        literals that the multi-device GSPMD lowering cannot shard), and
+        live on a runtime.Holder so lift_jit passes the big ones as jit
+        arguments.
         """
+        if getattr(self, "_flat_hold", None) is not None:
+            return dict(vars(self._flat_hold))
         if getattr(self, "_flat_tabs", None) is None:
             h = self._host_tabs
             d, nq, nb2, nb1 = self.dim, self.nq, self.nb2, self.nb1
@@ -490,12 +501,12 @@ class NSAssembler:
                 Bp[q] = np.outer(phi2[q], phi2[q]).ravel()
             Jf = h["Jinv"].reshape(self.nc, d * d)       # (nc, d*d)
             g1f = h["g1"].reshape(self.nc, nb1 * d)      # (nc, nb1*d)
-            # cache as NumPy; jnp constants created inside a trace would
-            # leak tracers (cf. SparsityPattern.to_dense)
             self._flat_tabs = dict(P=P, B2=B2, B1=B1, Pg=Pg, Bp=Bp,
                                    Jf=Jf, g1f=g1f)
-        return {k: jnp.asarray(v, self.dtype)
-                for k, v in self._flat_tabs.items()}
+        from ..runtime import Holder
+        self._flat_hold = Holder(**{k: jnp.asarray(v, self.dtype)
+                                    for k, v in self._flat_tabs.items()})
+        return dict(vars(self._flat_hold))
 
     def _u_cell_flat(self, u):
         """(nc, d*nb2) per-cell velocity dofs (flat layout)."""

@@ -121,6 +121,14 @@ def ell_spmv(ell, x, tile_r: int = 256, interpret: bool = False):
 # block of x with a scalar-indexed dynamic slice (supported), so the whole
 # SpMV streams the tile array at HBM bandwidth while x stays VMEM-resident.
 # Layout matches ops.sparse.BlockELL flat tiles (nb, b, m*b).
+#
+# TOOLCHAIN STATUS (probed 2026-08-17, axon v5e): interpret mode is exact;
+# the remote compile helper dies with an opaque HTTP 500 lowering the
+# compiled kernel (the same service was also crashing its worker on large
+# XLA programs that day — see SURVEY.md).  Callers should treat the XLA
+# flat-tile einsum (BlockELL.mv, 0.41 ms at 26k dofs) as the production
+# path until the service accepts the kernel; the kernel is kept compiled-
+# path-ready and parity-tested in interpret mode.
 
 def _bsr_kernel(nbr_ref, tiles_ref, x_ref, out_ref):
     R, b, mb = tiles_ref.shape
@@ -147,10 +155,10 @@ class PallasBSRSpMV:
         nb, b, mb = bell.tiles.shape
         self.bell = bell
         self.b = b
-        R = rows_per_step
-        while nb % R:
-            R //= 2
-        self.R = max(R, 1)
+        self.R = rows_per_step
+        # Mosaic block constraints: pad the block-row count to the panel
+        # size (padding rows have nbr=0 and zero tiles — they compute zeros)
+        self.nb_pad = -(-nb // self.R) * self.R
         self.interpret = interpret
         ncb = -(-bell.n_cols // b) * b
         self.ncb = ncb
@@ -159,6 +167,12 @@ class PallasBSRSpMV:
         bell, b, R = self.bell, self.b, self.R
         nb, _, mb = bell.tiles.shape
         xb = jnp.pad(x, (0, self.ncb - bell.n_cols)).reshape(-1, b)
+        tiles = bell.tiles
+        nbr = bell.nbr
+        if self.nb_pad != nb:
+            tiles = jnp.pad(tiles, ((0, self.nb_pad - nb), (0, 0), (0, 0)))
+            nbr = jnp.pad(nbr, ((0, self.nb_pad - nb), (0, 0)))
+            nb = self.nb_pad
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb // R,),
@@ -172,8 +186,8 @@ class PallasBSRSpMV:
         )
         y = pl.pallas_call(
             _bsr_kernel,
-            out_shape=jax.ShapeDtypeStruct((nb, b), bell.tiles.dtype),
+            out_shape=jax.ShapeDtypeStruct((nb, b), tiles.dtype),
             grid_spec=grid_spec,
             interpret=self.interpret,
-        )(bell.nbr, bell.tiles, xb)
+        )(nbr, tiles, xb)
         return y.reshape(-1)[:bell.n_rows]
