@@ -130,16 +130,37 @@ def ell_spmv(ell, x, tile_r: int = 256, interpret: bool = False):
 # path until the service accepts the kernel; the kernel is kept compiled-
 # path-ready and parity-tested in interpret mode.
 
-def _bsr_kernel(nbr_ref, tiles_ref, x_ref, out_ref):
+def _bsr_kernel(nbr_ref, tiles_ref, x_ref, out_ref, g_ref):
+    """Scratch-row formulation: the gathered neighbor blocks are written
+    into a VMEM scratch row ``g_ref`` (1, m*b) at static lane offsets, then
+    the whole block-row product is ONE fused VPU multiply-reduce over the
+    flat (b, m*b) tile.  (A 1D ``jnp.concatenate`` of the gathered pieces is
+    not lowerable on this Mosaic: "input offsets outside of the first
+    tile".)"""
     R, b, mb = tiles_ref.shape
     m = mb // b
     i = pl.program_id(0)
     for r in range(R):                       # static unroll over panel rows
-        g = jnp.concatenate(
-            [x_ref[pl.ds(nbr_ref[i * R + r, j], 1), :][0]
-             for j in range(m)])
-        out_ref[r, :] = jnp.dot(tiles_ref[r], g,
-                                preferred_element_type=out_ref.dtype)
+        for j in range(m):
+            g_ref[0, j * b:(j + 1) * b] = (
+                x_ref[pl.ds(nbr_ref[i * R + r, j], 1), :][0])
+        out_ref[r, :] = jnp.sum(tiles_ref[r] * g_ref[:], axis=1)
+
+
+def _bsr_kernel_accum(nbr_ref, tiles_ref, x_ref, out_ref):
+    """Per-neighbor accumulation formulation: m static (b, b) column slices
+    of the flat tile, each multiplied against its gathered x block and
+    lane-reduced.  No scratch, no concatenate."""
+    R, b, mb = tiles_ref.shape
+    m = mb // b
+    i = pl.program_id(0)
+    for r in range(R):
+        acc = jnp.zeros((b,), out_ref.dtype)
+        for j in range(m):
+            xg = x_ref[pl.ds(nbr_ref[i * R + r, j], 1), :]      # (1, b)
+            t = tiles_ref[r, :, j * b:(j + 1) * b]              # (b, b)
+            acc = acc + jnp.sum(t * xg, axis=1)
+        out_ref[r, :] = acc
 
 
 class PallasBSRSpMV:
@@ -151,7 +172,7 @@ class PallasBSRSpMV:
     """
 
     def __init__(self, bell, rows_per_step: int = 8,
-                 interpret: bool = False):
+                 interpret: bool = False, variant: str = "scratch"):
         nb, b, mb = bell.tiles.shape
         self.bell = bell
         self.b = b
@@ -160,6 +181,7 @@ class PallasBSRSpMV:
         # size (padding rows have nbr=0 and zero tiles — they compute zeros)
         self.nb_pad = -(-nb // self.R) * self.R
         self.interpret = interpret
+        self.variant = variant
         ncb = -(-bell.n_cols // b) * b
         self.ncb = ncb
 
@@ -173,6 +195,11 @@ class PallasBSRSpMV:
             tiles = jnp.pad(tiles, ((0, self.nb_pad - nb), (0, 0), (0, 0)))
             nbr = jnp.pad(nbr, ((0, self.nb_pad - nb), (0, 0)))
             nb = self.nb_pad
+        scratch = []
+        kernel = _bsr_kernel_accum
+        if self.variant == "scratch":
+            kernel = _bsr_kernel
+            scratch = [pltpu.VMEM((1, mb), tiles.dtype)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb // R,),
@@ -183,9 +210,10 @@ class PallasBSRSpMV:
             ],
             out_specs=pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
         )
         y = pl.pallas_call(
-            _bsr_kernel,
+            kernel,
             out_shape=jax.ShapeDtypeStruct((nb, b), tiles.dtype),
             grid_spec=grid_spec,
             interpret=self.interpret,

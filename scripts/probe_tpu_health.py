@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Probe the axon TPU service health for the two blocked paths.
+
+1. Pallas BSR kernel compile (was HTTP 500 on 2026-08-17 ~04:00 UTC).
+2. Large-program execution (worker crashed at >=761k-dof 3D solves).
+
+Run: python scripts/probe_tpu_health.py [bsr|big3d]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def probe_bsr():
+    import jax
+    import jax.numpy as jnp
+    from fenapack_tpu.ops import sparse
+    from fenapack_tpu.ops.pallas_spmv import PallasBSRSpMV
+
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    b = 32
+    nb = int(os.environ.get("PROBE_NB", "832"))     # ~26k dofs, bench-like
+    m = int(os.environ.get("PROBE_M", "16"))
+    n = nb * b
+    nbr = np.zeros((nb, m), np.int32)
+    for i in range(nb):
+        nbr[i] = rng.choice(nb, size=m, replace=False)
+    tiles = rng.standard_normal((nb, b, m * b)).astype(np.float32)
+    bell = sparse.BlockELL(
+        tiles=jnp.asarray(tiles.reshape(nb, b, m * b)
+                          if tiles.ndim != 3 else tiles),
+        nbr=jnp.asarray(nbr), n_rows=n, n_cols=n)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    interp = os.environ.get("PROBE_INTERPRET", "0") == "1"
+    n_chain = int(os.environ.get("PROBE_CHAIN", "100"))
+
+    def timed_chain(apply_fn):
+        """Per-apply ms amortized over ``n_chain`` chained applies in ONE
+        jit program (dispatch/tunnel latency excluded)."""
+        @jax.jit
+        def chain(x):
+            def body(v, _):
+                y = apply_fn(v)
+                return y / (jnp.linalg.norm(y) + 1e-30), None
+            out, _ = jax.lax.scan(body, x, None, length=n_chain)
+            return out
+        t0 = time.time()
+        jax.block_until_ready(chain(x))
+        t_compile = time.time() - t0
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(chain(x))
+            ts.append(time.time() - t0)
+        return t_compile, min(ts) * 1e3 / n_chain
+
+    # reference via XLA flat-tile einsum
+    y_ref = np.asarray(jax.block_until_ready(jax.jit(bell.mv)(x)))
+    _, t_xla = timed_chain(bell.mv)
+    print(f"XLA einsum: {t_xla:.4f} ms/apply", flush=True)
+    for variant in os.environ.get("PROBE_VARIANTS", "scratch,accum").split(","):
+        try:
+            op = PallasBSRSpMV(bell, rows_per_step=8, variant=variant,
+                               interpret=interp)
+            y = jax.block_until_ready(jax.jit(op.__call__)(x))
+            err = float(np.max(np.abs(np.asarray(y) - y_ref)) /
+                        (np.max(np.abs(y_ref)) + 1e-30))
+            t_compile, t_pallas = timed_chain(op)
+        except Exception as e:
+            print(f"BSR[{variant}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:500]}", flush=True)
+            continue
+        print(f"BSR[{variant}] OK compile={t_compile:.1f}s relerr={err:.2e} "
+              f"pallas={t_pallas:.4f}ms xla={t_xla:.4f}ms", flush=True)
+
+
+def probe_big3d():
+    """Minimal large-program probe: a big SpMV-loop program, not the full
+    solve — enough to see whether the worker survives >=761k-dof scale."""
+    import jax
+    import jax.numpy as jnp
+    print("backend:", jax.default_backend(), flush=True)
+    n = 800_000
+    k = 64
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    cols = jnp.asarray(rng.integers(0, n, size=(n, k)).astype(np.int32))
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    @jax.jit
+    def loop(x):
+        def body(i, x):
+            y = jnp.sum(vals * jnp.take(x, cols, axis=0), axis=1)
+            return y / (jnp.linalg.norm(y) + 1e-30)
+        return jax.lax.fori_loop(0, 50, body, x)
+
+    t0 = time.time()
+    y = jax.block_until_ready(loop(x))
+    print(f"BIG3D PROBE OK wall={time.time()-t0:.1f}s "
+          f"norm={float(jnp.linalg.norm(y)):.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "bsr"
+    {"bsr": probe_bsr, "big3d": probe_big3d}[which]()

@@ -31,5 +31,7 @@ def test_bsr_kernel_interpret_matches_blockell():
     op = pat.assemble(jnp.asarray(vals))
     x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
     y_ref = np.asarray(op.mv(x))
-    y = np.asarray(PallasBSRSpMV(op, interpret=True)(x))
-    assert np.abs(y - y_ref).max() < 1e-4
+    for variant in ("scratch", "accum"):
+        y = np.asarray(PallasBSRSpMV(op, interpret=True,
+                                     variant=variant)(x))
+        assert np.abs(y - y_ref).max() < 1e-4, variant
