@@ -47,6 +47,10 @@ def build(level: int, variant: str, ls: str = "direct",
     # default: single-round solves at oracle-parity iteration counts
     # (BENCH_HIK=0 selects the 2-round f32 IR mode)
     hik = os.environ.get("BENCH_HIK", "1") == "1"
+    # df32: hi matvec via the compensated Pallas BSR kernel (pure-f32 VPU
+    # arithmetic, ~1e-12 of emulated f64) — needs the f64 operators in the
+    # block layout (hi_block)
+    df32 = os.environ.get("BENCH_DF32", "0") == "1"
     if ls == "iterative":
         from fenapack_tpu.solvers import gmg
         hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), level)
@@ -57,8 +61,8 @@ def build(level: int, variant: str, ls: str = "direct",
     asm = NSAssembler(mesh, 0.02, dtype=jnp.float64, block_size=block_size,
                       reorder=(block_size is not None and ls != "iterative"),
                       block_dtype=jnp.float32 if block_size else None,
-                      hi_block=(os.environ.get("BENCH_HIBLOCK", "0") == "1"
-                                and block_size is not None))
+                      hi_block=((os.environ.get("BENCH_HIBLOCK", "0") == "1"
+                                 or df32) and block_size is not None))
 
     def inflow(x):
         v = np.zeros((x.shape[0], 2))
@@ -86,6 +90,7 @@ def build(level: int, variant: str, ls: str = "direct",
         # IR floor comes from the f32 residual-ESTIMATE resolution, not
         # matvec accuracy) and costs +3.5s wall; opt-in only
         "krylov.hi_matvec": os.environ.get("BENCH_HI_MATVEC", "0") == "1",
+        "krylov.df32_matvec": df32,
     }
     if over["krylov.hi_matvec"]:
         # f64 outer matvec: a single f32 round reaches much deeper before

@@ -122,13 +122,13 @@ def ell_spmv(ell, x, tile_r: int = 256, interpret: bool = False):
 # SpMV streams the tile array at HBM bandwidth while x stays VMEM-resident.
 # Layout matches ops.sparse.BlockELL flat tiles (nb, b, m*b).
 #
-# TOOLCHAIN STATUS (probed 2026-08-17, axon v5e): interpret mode is exact;
-# the remote compile helper dies with an opaque HTTP 500 lowering the
-# compiled kernel (the same service was also crashing its worker on large
-# XLA programs that day — see SURVEY.md).  Callers should treat the XLA
-# flat-tile einsum (BlockELL.mv, 0.41 ms at 26k dofs) as the production
-# path until the service accepts the kernel; the kernel is kept compiled-
-# path-ready and parity-tested in interpret mode.
+# TOOLCHAIN STATUS (probed 2026-08-17, axon v5e): BOTH formulations below
+# compile and run on the chip (the earlier 1D-concatenate form was rejected
+# by Mosaic).  At bench scale (26k dofs, m=16) the scratch variant runs
+# 0.41 ms vs the XLA flat-tile einsum's 0.35 ms — XLA stays the production
+# f32 path; the kernel's value is the DF32 compensated variant below, which
+# XLA cannot express (f32 inputs + f64-accurate accumulation: XLA's
+# preferred_element_type=f64 emulation measured 24 ms).
 
 def _bsr_kernel(nbr_ref, tiles_ref, x_ref, out_ref, g_ref):
     """Scratch-row formulation: the gathered neighbor blocks are written
@@ -219,3 +219,185 @@ class PallasBSRSpMV:
             interpret=self.interpret,
         )(nbr, tiles, xb)
         return y.reshape(-1)[:bell.n_rows]
+
+
+# --------------------------------------------------------------------- #
+# double-single (df32) compensated BSR SpMV kernel
+# --------------------------------------------------------------------- #
+#
+# Replaces the emulated-f64 monolithic matvec of the hi_krylov outer loop
+# (reference-parity: PETSc MatMult at PetscReal=double — SURVEY.md 2.2 #1).
+# TPU v5e has no native f64; XLA emulation of the block matvec costs ~9 ms
+# at 26k dofs vs 0.35 ms for f32.  This kernel computes y = A x with
+# ~2^-45 relative accuracy from pure-f32 VPU arithmetic:
+#
+#   * the f64 tile values are split HOST/GRAPH-side into three f32 planes
+#     (T1 + T2 = f32(A) with <=12-bit mantissas each — Veltkamp split — and
+#     Tl = f32(A - f32(A))); x is split the same way per apply.
+#   * every hi*hi partial product (T1 g1, T1 g2, T2 g1, T2 g2) is EXACT in
+#     f32 (12+12-bit mantissas); the lo cross terms are ~2^-24-relative and
+#     plain f32 rounding on them lands at ~2^-48.
+#   * the only remaining rounding — merging the exact products and the lane
+#     reduction — is compensated with branch-free TwoSum at every level of
+#     the reduction tree; the collected error terms are returned as a
+#     separate f32 correction plane C with y = f64(S) + f64(C).
+#
+# Accuracy requirement: the hi_krylov true residual r = b - A x cancels to
+# ~1e-8 |b|, so err(Ax) must sit well below that; measured relerr of this
+# kernel vs emulated f64 is ~1e-13 (interpret and compiled), far inside the
+# f32 estimate floor (~1e-6) that forced the f64 path.
+
+def _twosum(a, b):
+    s = a + b
+    bv = s - a
+    av = s - bv
+    return s, (a - av) + (b - bv)
+
+
+def _comp_tree_rowsum(s):
+    """Compensated binary-tree reduction over the lane axis.
+
+    ``s`` (b, W) with W a power of two -> (rowsum (b,), error (b,)).
+    Each level's TwoSum errors are themselves plain-summed (they are
+    ~2^-24 relative to the result, so their rounding is ~2^-48)."""
+    b, W = s.shape
+    err = jnp.zeros((b,), s.dtype)
+    while W > 1:
+        half = W // 2
+        t, e = _twosum(s[:, :half], s[:, half:])
+        err = err + jnp.sum(e, axis=1)
+        s = t
+        W = half
+    return s[:, 0], err
+
+
+def _bsr_df32_kernel(nbr_ref, t1_ref, t2_ref, tl_ref,
+                     x1_ref, x2_ref, xl_ref,
+                     s_ref, c_ref, g1_ref, g2_ref, gl_ref):
+    R, b, mb = t1_ref.shape
+    m = mb // b
+    i = pl.program_id(0)
+    for r in range(R):
+        for j in range(m):
+            blk = pl.ds(nbr_ref[i * R + r, j], 1)
+            g1_ref[0, j * b:(j + 1) * b] = x1_ref[blk, :][0]
+            g2_ref[0, j * b:(j + 1) * b] = x2_ref[blk, :][0]
+            gl_ref[0, j * b:(j + 1) * b] = xl_ref[blk, :][0]
+        t1, t2, tl = t1_ref[r], t2_ref[r], tl_ref[r]
+        g1, g2, gl = g1_ref[:], g2_ref[:], gl_ref[:]
+        p0 = t1 * g1                               # exact
+        pm = t1 * g2 + t2 * g1 + t2 * g2           # exact products, ~2^-36 adds
+        q = (t1 + t2) * gl + tl * (g1 + g2)        # ~2^-24-relative terms
+        s, e = _twosum(p0, pm)                     # elementwise merge, exact
+        row, tree_err = _comp_tree_rowsum(s)
+        s_ref[r, :] = row
+        c_ref[r, :] = tree_err + jnp.sum(e + q, axis=1)
+
+
+def split_f64(v, out_dtype=jnp.float32):
+    """Split f64 values into (hi1, hi2, lo) f32 planes: hi1 + hi2 = f32(v)
+    with <=12-bit mantissas (Veltkamp), lo = f32(v - f32(v))."""
+    vh = v.astype(out_dtype)
+    vl = (v - vh.astype(v.dtype)).astype(out_dtype)
+    c = vh * 4097.0                    # 2^12 + 1 (weak-typed: stays f32)
+    v1 = c - (c - vh)
+    v2 = vh - v1
+    return v1, v2, vl
+
+
+class DF32BlockSpMV:
+    """f64-accurate block SpMV from pure-f32 Pallas arithmetic.
+
+    Setup once per sparsity pattern::
+
+        op = DF32BlockSpMV(bell_pattern_matrix, rows_per_step=8)
+
+    then inside jit, with f64 tile values ``vals`` (nb, b, m*b) and f64
+    ``x``::
+
+        tiles3 = op.split_tiles(vals)      # per operator update (Picard step)
+        y = op(tiles3, x)                  # per apply; y is f64
+
+    The neighbor table is padded to a power-of-two block count m (repeating
+    block 0 with zero tiles) so the reduction tree halves cleanly.
+    """
+
+    def __init__(self, bell, rows_per_step: int = 8,
+                 interpret: bool = False):
+        nb, b, mb = bell.tiles.shape
+        self._setup(bell.nbr, nb, b, mb // b, bell.n_rows, bell.n_cols,
+                    rows_per_step, interpret)
+
+    @classmethod
+    def from_pattern(cls, pat, rows_per_step: int = 8,
+                     interpret: bool = False):
+        """Construct from a BlockSparsityPattern (no values needed)."""
+        self = object.__new__(cls)
+        self._setup(pat.nbr, pat.nb, pat.block, pat.m,
+                    pat.n_rows, pat.n_cols, rows_per_step, interpret)
+        return self
+
+    def _setup(self, nbr, nb, b, m, n_rows, n_cols, rows_per_step,
+               interpret):
+        self.m_pad = 1 << (m - 1).bit_length()
+        self.b, self.m = b, m
+        self.R = rows_per_step
+        self.nb_pad = -(-nb // self.R) * self.R
+        self.nb = nb
+        self.interpret = interpret
+        self.n_rows, self.n_cols = n_rows, n_cols
+        self.ncb = -(-n_cols // b) * b
+        if self.m_pad != m:
+            nbr = jnp.pad(nbr, ((0, 0), (0, self.m_pad - m)))
+        if self.nb_pad != nb:
+            nbr = jnp.pad(nbr, ((0, self.nb_pad - nb), (0, 0)))
+        self.nbr = nbr
+
+    def split_tiles(self, vals):
+        """(nb, b, m*b) f64 -> three padded (nb_pad, b, m_pad*b) f32 planes."""
+        nb, b, mb = vals.shape
+        pads = ((0, self.nb_pad - nb), (0, 0), (0, (self.m_pad * b) - mb))
+        return tuple(jnp.pad(p, pads) for p in split_f64(vals))
+
+    def split_x(self, x):
+        """f64 (n_cols,) -> three (ncb/b, b) f32 planes."""
+        xp = jnp.pad(x, (0, self.ncb - self.n_cols))
+        return tuple(p.reshape(-1, self.b) for p in split_f64(xp))
+
+    def __call__(self, tiles3, x=None, x3=None):
+        """Apply.  Pass f64 ``x`` OR a pre-split ``x3`` (from
+        :meth:`split_x`) when several operators share one input vector."""
+        if x3 is None:
+            x3 = self.split_x(x)
+        R, b, mbp = self.R, self.b, self.m_pad * self.b
+        nb = self.nb_pad
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb // R,),
+            in_specs=[
+                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((1, mbp), jnp.float32)] * 3,
+        )
+        s, c = pl.pallas_call(
+            _bsr_df32_kernel,
+            out_shape=[jax.ShapeDtypeStruct((nb, b), jnp.float32)] * 2,
+            grid_spec=grid_spec,
+            interpret=self.interpret,
+        )(self.nbr, *tiles3, *x3)
+        y = s.astype(jnp.float64) + c.astype(jnp.float64)
+        return y.reshape(-1)[:self.n_rows]

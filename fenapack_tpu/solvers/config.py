@@ -72,6 +72,13 @@ class KrylovConfig:
     # residual, and PC all read the same values).  Constant integrals
     # (nu L, mass) remain exact f64.
     hi_ops_f32: bool = True
+    # evaluate the hi-precision matvec with the double-single compensated
+    # Pallas BSR kernel (ops.pallas_spmv.DF32BlockSpMV): pure-f32 VPU
+    # arithmetic reproducing the emulated-f64 block matvec to ~1e-12 —
+    # replaces the dominant per-iteration cost of hi_krylov/hi_matvec.
+    # Requires block patterns assembled with hi_block=True (the f64
+    # operators share the block layout).
+    df32_matvec: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,6 +100,9 @@ class OseenSolver:
 
         self._needs_cast = jnp.dtype(asm.const.L.vals.dtype) != dt
         self._lift_refs = []    # closure-held Holders (dense inverses etc.)
+        self._df32_A1 = None
+        if config.krylov.df32_matvec:
+            self._build_df32()
         self._build_subsolves(ap_hierarchy, velocity_hierarchy)
         # lift_jit: operator/geometry arrays become jit ARGUMENTS — inlined
         # literals overflow the TPU compile-request limit at ~100k dofs
@@ -372,9 +375,75 @@ class OseenSolver:
             return free_u * jnp.concatenate(ys) + bc_u * x
         return mv
 
+    def _build_df32(self):
+        """Double-single Pallas matvec for the hi-precision path
+        (``krylov.df32_matvec``): pure-f32 VPU arithmetic reproducing the
+        emulated-f64 block matvec to ~1e-12 (ops.pallas_spmv docstring).
+
+        Requires hi_block assembly (f64 operators in the block layout).
+        The constant D/DT planes are split EAGERLY here — host context, so
+        lift_jit passes them as jit arguments and no trace-time constants
+        break GSPMD lowering; the wind-dependent A1 planes are split per
+        nonlinear step inside the trace.
+        """
+        from ..ops.pallas_spmv import DF32BlockSpMV
+        from ..runtime import Holder
+        asm = self.asm
+        if not hasattr(asm.pat_p2_hi, "nbr"):
+            raise ValueError(
+                "krylov.df32_matvec requires block-layout f64 operators: "
+                "construct NSAssembler with block_size and hi_block=True")
+        interp = jax.default_backend() != "tpu"
+        mk = lambda p: DF32BlockSpMV.from_pattern(p, interpret=interp)
+        self._df32_A1 = mk(asm.pat_p2_hi)
+        self._df32_DT = mk(asm.pat_divT_hi)
+        self._df32_D = mk(asm.pat_div_hi)
+        c = asm.const_hi
+        self._df32_const = Holder(
+            DT=tuple(self._df32_DT.split_tiles(e.tiles) for e in c.DT),
+            D=tuple(self._df32_D.split_tiles(e.tiles) for e in c.D))
+        self._lift_refs.append(self._df32_const)
+
+    def _matvec_df32(self, A1vals, R):
+        """hi matvec via the compensated df32 kernel (see _build_df32).
+        Input splits are computed once per component and shared between the
+        A1/D applies (and R for Newton); all elementwise masking stays f64
+        XLA."""
+        asm = self.asm
+        n2, n_u, d = asm.n2, self.n_u, self.d
+        A1op, DTop, Dop = self._df32_A1, self._df32_DT, self._df32_D
+        A1t = A1op.split_tiles(A1vals)            # per-step, in-trace
+        Rt = None
+        if R is not None:
+            Rt = [[A1op.split_tiles(R[a, b]) for b in range(d)]
+                  for a in range(d)]
+        DTt, Dt = self._df32_const.DT, self._df32_const.D
+        free_u, bc_u = self.free_u, self.bc_mask_u
+
+        def matvec(x):
+            xu = free_u * x[:n_u]
+            comps = [xu[a * n2:(a + 1) * n2] for a in range(d)]
+            comp3 = [A1op.split_x(comp) for comp in comps]
+            p = x[n_u:]
+            p3 = DTop.split_x(p)
+            ys = [A1op(A1t, x3=comp3[a]) + DTop(DTt[a], x3=p3)
+                  for a in range(d)]
+            if Rt is not None:
+                for a in range(d):
+                    for b in range(d):
+                        ys[a] = ys[a] + A1op(Rt[a][b], x3=comp3[b])
+            yu = free_u * jnp.concatenate(ys) + bc_u * x[:n_u]
+            yp = sum(Dop(Dt[a], x3=comp3[a]) for a in range(d))
+            if self.has_p_pad:
+                yp = yp + self.p_pad * p
+            return jnp.concatenate([yu, yp])
+        return matvec
+
     def _matvec_factory(self, A1vals, R, hi: bool = False):
         asm = self.asm
         n2, n_u, d = asm.n2, self.n_u, self.d
+        if hi and self._df32_A1 is not None:
+            return self._matvec_df32(A1vals, R)
         # high-precision values (IR residual path) use the compact ELL f64
         # operators; the compute-precision pipeline uses block/cast copies
         c = asm.const_hi if hi else self.const_lo

@@ -105,6 +105,75 @@ def probe_big3d():
           f"norm={float(jnp.linalg.norm(y)):.3f}", flush=True)
 
 
+def probe_df32():
+    """Compiled df32 kernel vs emulated-f64 XLA block matvec (the hi_krylov
+    outer-matvec replacement candidate) at bench-like scale/structure."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from fenapack_tpu.ops import sparse
+    from fenapack_tpu.ops.pallas_spmv import DF32BlockSpMV
+
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    b = 32
+    nb = int(os.environ.get("PROBE_NB", "832"))
+    m = int(os.environ.get("PROBE_M", "16"))
+    n = nb * b
+    # banded neighbor structure (RCM-like locality)
+    nbr = np.zeros((nb, m), np.int32)
+    for i in range(nb):
+        lo = max(0, min(i - m // 2, nb - m))
+        nbr[i] = np.arange(lo, lo + m)
+    tiles = rng.standard_normal((nb, b, m * b))
+    tiles *= 10.0 ** rng.uniform(-2, 2, size=tiles.shape)
+    bell = sparse.BlockELL(tiles=jnp.asarray(tiles),
+                           nbr=jnp.asarray(nbr), n_rows=n, n_cols=n)
+    x = jnp.asarray(rng.standard_normal(n))
+    n_chain = int(os.environ.get("PROBE_CHAIN", "50"))
+
+    def timed_chain(apply_fn):
+        @jax.jit
+        def chain(x):
+            def body(v, _):
+                y = apply_fn(v)
+                return y / (jnp.linalg.norm(y) + 1e-30), None
+            out, _ = jax.lax.scan(body, x, None, length=n_chain)
+            return out
+        t0 = time.time()
+        jax.block_until_ready(chain(x))
+        t_compile = time.time() - t0
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(chain(x))
+            ts.append(time.time() - t0)
+        return t_compile, min(ts) * 1e3 / n_chain
+
+    y_ref = np.asarray(jax.jit(bell.mv)(x))
+    tc64, t64 = timed_chain(bell.mv)
+    print(f"XLA f64 block mv: {t64:.4f} ms/apply (compile {tc64:.0f}s)",
+          flush=True)
+    bell32 = bell.with_vals(bell.tiles.astype(jnp.float32))
+    _, t32 = timed_chain(lambda v: bell32.mv(v.astype(jnp.float32))
+                         .astype(jnp.float64))
+    print(f"XLA f32 block mv: {t32:.4f} ms/apply", flush=True)
+    for R in (8, 16):
+        try:
+            op = DF32BlockSpMV(bell, rows_per_step=R)
+            t3 = jax.jit(op.split_tiles)(bell.tiles)
+            jax.block_until_ready(t3)
+            y = np.asarray(jax.jit(lambda v: op(t3, v))(x))
+            err = float(np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)))
+            tc, t = timed_chain(lambda v: op(t3, v))
+        except Exception as e:
+            print(f"DF32[R={R}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:600]}", flush=True)
+            continue
+        print(f"DF32[R={R}] OK compile={tc:.0f}s relerr={err:.2e} "
+              f"df32={t:.4f}ms f64={t64:.4f}ms f32={t32:.4f}ms", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "bsr"
-    {"bsr": probe_bsr, "big3d": probe_big3d}[which]()
+    {"bsr": probe_bsr, "big3d": probe_big3d, "df32": probe_df32}[which]()
