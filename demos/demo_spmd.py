@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--nu", type=float, default=0.02)
     ap.add_argument("--path", choices=["gspmd", "ring", "both"],
                     default="both")
+    ap.add_argument("--supg", action="store_true",
+                    help="SUPG-stabilized system + GMG subsolves (BASELINE "
+                         "config 5: use with --nu 1e-3 for Re=2000)")
     args = ap.parse_args()
 
     if "xla_force_host_platform_device_count" not in os.environ.get(
@@ -63,17 +66,36 @@ def main():
     if args.path in ("gspmd", "both"):
         from fenapack_tpu.parallel.sharding import ShardedOseen, \
             make_device_mesh
-        mesh = meshmod.backward_step_mesh(args.level)
-        asm = NSAssembler(mesh, args.nu, row_align=n_dev,
-                          dtype=jnp.float64 if dtype == "float64"
-                          else jnp.float32)
+        jdt = jnp.float64 if dtype == "float64" else jnp.float32
+        over = {"pcd.variant": "BRM2", "dtype": dtype,
+                "krylov.rtol": 1e-6, "krylov.maxiter": 80}
+        ap_h = v_h = None
+        if args.supg:
+            # BASELINE config 5: SUPG-stabilized high-Re system, GMG
+            # subsolves, mesh-sharded solve
+            hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0),
+                                       args.level)
+            mesh = hier.fine
+            over.update({"system_supg": True, "krylov.maxiter": 400,
+                         "velocity.method": "gmg",
+                         "velocity.smooth_iters": 3, "velocity.cycles": 2,
+                         "pcd.ap.method": "gmg"})
+        else:
+            mesh = meshmod.backward_step_mesh(args.level)
+        asm = NSAssembler(mesh, args.nu, row_align=n_dev, dtype=jdt)
         bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                     lambda x: np.zeros((x.shape[0], 2))),
                DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
-        cfg = overrides(SolverConfig(), {
-            "pcd.variant": "BRM2", "dtype": dtype,
-            "krylov.rtol": 1e-6, "krylov.maxiter": 80})
-        nl = NonlinearSolver(asm, bcs, cfg)
+        if args.supg:
+            ap_h = gmg.PressureHierarchy(hier, jdt,
+                                         pcd_markers=[meshmod.OUTFLOW])
+            v_h = gmg.VelocityHierarchy(hier, args.nu, jdt,
+                                        bc_markers=[meshmod.WALL,
+                                                    meshmod.INFLOW],
+                                        fine_asm=asm)
+        cfg = overrides(SolverConfig(), over)
+        nl = NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ap_h,
+                             velocity_hierarchy=v_h)
         sh = ShardedOseen(nl, make_device_mesh(n_dev))
         t0 = time.perf_counter()
         w1, iters, rn = sh.step(nl.initial_state())

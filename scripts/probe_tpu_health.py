@@ -93,14 +93,14 @@ def probe_big3d():
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
     @jax.jit
-    def loop(x):
+    def loop(x, vals, cols):
         def body(i, x):
             y = jnp.sum(vals * jnp.take(x, cols, axis=0), axis=1)
             return y / (jnp.linalg.norm(y) + 1e-30)
         return jax.lax.fori_loop(0, 50, body, x)
 
     t0 = time.time()
-    y = jax.block_until_ready(loop(x))
+    y = jax.block_until_ready(loop(x, vals, cols))
     print(f"BIG3D PROBE OK wall={time.time()-t0:.1f}s "
           f"norm={float(jnp.linalg.norm(y)):.3f}", flush=True)
 

@@ -86,3 +86,54 @@ def test_spmd_dot_matches():
     a = jnp.asarray(rng.standard_normal(n))
     b = jnp.asarray(rng.standard_normal(n))
     assert abs(float(dot(a, b)) - float(jnp.vdot(a, b))) < 1e-10
+
+
+@needs_8
+def test_sharded_supg_high_re_step():
+    """BASELINE config 5 composition: SUPG-stabilized system at Re=2000 +
+    GMG subsolves + mesh-sharded (GSPMD) solve — the sharded step must match
+    the single-device solver on the same configuration."""
+    from fenapack_tpu.solvers import gmg
+
+    def build_supg(row_align):
+        hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), 1)
+        mesh = hier.fine
+        asm = NSAssembler(mesh, 1e-3, row_align=row_align)
+        bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                    lambda x: np.zeros((x.shape[0], 2))),
+               DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+        cfg = overrides(SolverConfig(), {
+            "pcd.variant": "BRM2", "system_supg": True,
+            "krylov.maxiter": 400, "krylov.rtol": 1e-6,
+            "velocity.method": "gmg", "velocity.smooth_iters": 3,
+            "velocity.cycles": 2, "pcd.ap.method": "gmg"})
+        ap_h = gmg.PressureHierarchy(hier, jnp.float64,
+                                     pcd_markers=[meshmod.OUTFLOW])
+        v_h = gmg.VelocityHierarchy(hier, 1e-3, jnp.float64,
+                                    bc_markers=[meshmod.WALL,
+                                                meshmod.INFLOW],
+                                    fine_asm=asm)
+        return NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ap_h,
+                               velocity_hierarchy=v_h)
+
+    ref = build_supg(1)
+    F0 = ref._residual(ref.initial_state())
+    res = ref.oseen.solve(ref.initial_state()[:ref.n_u], -F0)
+    w_ref = ref.initial_state() + res.x
+
+    nl = build_supg(8)
+    sharded = ShardedOseen(nl, make_device_mesh(8))
+    w1, iters, _ = sharded.step(nl.initial_state())
+
+    def unpack(w, asm):
+        n2 = asm.n2
+        return np.concatenate([
+            np.asarray(w[:n2])[:asm.n2_real],
+            np.asarray(w[n2:2 * n2])[:asm.n2_real],
+            np.asarray(w[2 * n2:])[:asm.n1_real]])
+
+    a, b = unpack(w_ref, ref.asm), unpack(w1, nl.asm)
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert err < 1e-6, err
+    assert abs(int(iters) - int(res.iters)) <= 3
+    assert int(iters) < 400     # SUPG keeps high-Re solvable when sharded
