@@ -268,7 +268,10 @@ def _comp_tree_rowsum(s):
         err = err + jnp.sum(e, axis=1)
         s = t
         W = half
-    return s[:, 0], err
+    # jnp.sum, not s[:, 0]: a lane-indexed extraction from a (b, 1) array
+    # crashes the Mosaic backend compiler (bisected 2026-08-17); the sum
+    # over the singleton lane axis is value-identical and lowers fine
+    return jnp.sum(s, axis=1), err
 
 
 def _bsr_df32_kernel(nbr_ref, t1_ref, t2_ref, tl_ref,
@@ -339,6 +342,10 @@ class DF32BlockSpMV:
 
     def _setup(self, nbr, nb, b, m, n_rows, n_cols, rows_per_step,
                interpret):
+        if rows_per_step % 8:
+            raise ValueError("rows_per_step must be a multiple of 8: the "
+                             "(R, b) output block's sublane dim must be "
+                             "8-divisible for the Mosaic lowering")
         self.m_pad = 1 << (m - 1).bit_length()
         self.b, self.m = b, m
         self.R = rows_per_step
@@ -393,11 +400,19 @@ class DF32BlockSpMV:
             ],
             scratch_shapes=[pltpu.VMEM((1, mbp), jnp.float32)] * 3,
         )
-        s, c = pl.pallas_call(
-            _bsr_df32_kernel,
-            out_shape=[jax.ShapeDtypeStruct((nb, b), jnp.float32)] * 2,
-            grid_spec=grid_spec,
-            interpret=self.interpret,
-        )(self.nbr, *tiles3, *x3)
+        # trace the kernel with x64 semantics OFF: under global
+        # jax_enable_x64 the Mosaic lowering embeds i64 index arithmetic
+        # that crashes the backend compiler (bisected 2026-08-17: the
+        # identical kernel compiles without x64 and 500s with it, at any
+        # size).  All kernel operands are explicit f32/i32, so the scoped
+        # disable changes nothing semantically.
+        with jax.enable_x64(False):
+            s, c = pl.pallas_call(
+                _bsr_df32_kernel,
+                out_shape=[jax.ShapeDtypeStruct((nb, b),
+                                                jnp.float32)] * 2,
+                grid_spec=grid_spec,
+                interpret=self.interpret,
+            )(self.nbr, *tiles3, *x3)
         y = s.astype(jnp.float64) + c.astype(jnp.float64)
         return y.reshape(-1)[:self.n_rows]
