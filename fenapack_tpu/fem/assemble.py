@@ -356,8 +356,12 @@ class NSAssembler:
         # final value arrays; the per-iteration hot path is unaffected.
         import os as _os
         import jax as _jax
+        # 50k default (was 200k): at 172k cells / 761k dofs the padded
+        # setup einsums + the now-eager flat tables and block constants
+        # exceed the 16 GB HBM (observed RESOURCE_EXHAUSTED); host setup
+        # costs minutes once, the per-iteration hot path is unaffected
         big = self.nc > int(_os.environ.get(
-            "FENAPACK_HOST_ASM_CELLS", "200000"))
+            "FENAPACK_HOST_ASM_CELLS", "50000"))
         on_cpu = big and _jax.default_backend() != "cpu"
         if on_cpu:
             cpu = _jax.devices("cpu")[0]
