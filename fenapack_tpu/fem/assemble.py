@@ -204,14 +204,33 @@ class NSAssembler:
         nb2, nb1 = self.nb2, self.nb1
         widths = (nb2 * nb2, nb1 * nb1, nb1 * nb2, nb2 * nb1)
 
+        # Block tiles trade fill-in for streaming bandwidth (a ~25x slot/nnz
+        # ratio still beats the gather ELL SpMV ~10x in time).  But the
+        # RECTANGULAR div/grad patterns under natural dof ordering (which
+        # GMG transfers require) lose block locality with mesh size — the
+        # neighbor-block count m grows ~4x per 3D refinement (measured m=45
+        # -> 186 at 172k cells), and the tiles alone exhaust HBM (~5 GB at
+        # 761k dofs vs ~20 MB in ELL).  Any pattern whose fill ratio blows
+        # past FENAPACK_BLOCK_MAXFILL falls back to the compact ELL layout:
+        # D/DT are applied once per matvec (small share of its cost), so
+        # the gather penalty is noise while the memory win is the
+        # difference between fitting on one chip or not.
+        import os as _os
+        maxfill = float(_os.environ.get("FENAPACK_BLOCK_MAXFILL", "48"))
+
         def build_patterns(block):
-            pats = (pattern_from_dofmaps(cd2, cd2, self.n2, self.n2, block=block),
-                    pattern_from_dofmaps(cd1, cd1, self.n1, self.n1, block=block),
-                    pattern_from_dofmaps(cd1, cd2, self.n1, self.n2, block=block),
-                    pattern_from_dofmaps(cd2, cd1, self.n2, self.n1, block=block))
-            for pat, width in zip(pats, widths):
+            dofmaps = ((cd2, cd2, self.n2, self.n2),
+                       (cd1, cd1, self.n1, self.n1),
+                       (cd1, cd2, self.n1, self.n2),
+                       (cd2, cd1, self.n2, self.n1))
+            pats = []
+            for (cr, cc, nr, ncol), width in zip(dofmaps, widths):
+                pat = pattern_from_dofmaps(cr, cc, nr, ncol, block=block)
+                if (block and getattr(pat, "fill_ratio", 0.0) > maxfill):
+                    pat = pattern_from_dofmaps(cr, cc, nr, ncol, block=None)
                 pat.pad_entries(nc_pad * width)
-            return pats
+                pats.append(pat)
+            return tuple(pats)
 
         self.pat_p2, self.pat_p1, self.pat_div, self.pat_divT = \
             build_patterns(bs)

@@ -79,6 +79,11 @@ class KrylovConfig:
     # Requires block patterns assembled with hi_block=True (the f64
     # operators share the block layout).
     df32_matvec: bool = False
+    # hi_krylov basis/CGS2 algebra in double-single (two-f32) compensated
+    # storage (solvers/krylov.py::fgmres_ds): same residual-estimate honesty
+    # as the f64 path at pure-f32 VPU cost — the dense-algebra analogue of
+    # df32_matvec.  Ignored when recycling is on.
+    ds_basis: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

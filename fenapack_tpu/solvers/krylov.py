@@ -152,6 +152,30 @@ def fgmres_dr(matvec: Callable, pc: Callable, b: jnp.ndarray,
                         factor_dtype=factor_dtype)
 
 
+def _rotation_sweep(h, cs, sn, m):
+    """Apply the accumulated Givens rotations to a new Hessenberg column.
+
+    The sweep
+      out_i = c_i a_i + s_i h_{i+1};  a_{i+1} = -s_i a_i + c_i h_{i+1}
+    is a first-order linear recurrence in the carry a — evaluated in
+    log depth with an associative scan instead of m sequential steps
+    (sequential scalar loops cost ~us/step on TPU).  Rotations i >= k are
+    identity (cs=1, sn=0), so no masking is needed.
+    """
+    alpha = -sn
+    beta = cs * h[1:]
+
+    def comb(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a2 * a1, a2 * b1 + b2
+
+    A, B = lax.associative_scan(comb, (alpha, beta))
+    a = jnp.concatenate([h[:1], A * h[0] + B])      # a_0 .. a_m
+    out = cs * a[:m] + sn * h[1:]
+    return jnp.concatenate([out, a[m:m + 1]])
+
+
 def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
                  rec: Optional[RecycleSpace], factor_dtype=None):
     n = b.shape[0]
@@ -227,23 +251,7 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
             Hm = Hm.at[:, k].set(h)          # pre-rotation Hessenberg column
             aux = (Bm, Hm)
 
-        # apply existing rotations (identity for i >= k).  The sweep
-        #   out_i = c_i a_i + s_i h_{i+1};  a_{i+1} = -s_i a_i + c_i h_{i+1}
-        # is a first-order linear recurrence in the carry a — evaluated in
-        # log depth with an associative scan instead of m sequential steps
-        # (sequential scalar loops cost ~us/step on TPU).
-        alpha = -sn
-        beta = cs * h[1:]
-
-        def comb(x, y):
-            a1, b1 = x
-            a2, b2 = y
-            return a2 * a1, a2 * b1 + b2
-
-        A, B = lax.associative_scan(comb, (alpha, beta))
-        a = jnp.concatenate([h[:1], A * h[0] + B])      # a_0 .. a_m
-        out = cs * a[:m] + sn * h[1:]
-        h = jnp.concatenate([out, a[m:m + 1]])
+        h = _rotation_sweep(h, cs, sn, m)
 
         denom = jnp.hypot(h[k], h[k + 1])
         safe = jnp.where(denom > 0, denom, 1.0)
@@ -291,6 +299,116 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
     hist = hist[idx]
     return FGMRESResult(x=x, iters=k, resnorms=hist, converged=done,
                         bnorm=bnorm), rec_new
+
+
+def fgmres_ds(matvec, pc, b, *, maxiter: int = 100, rtol: float = 1e-8,
+              atol: float = 0.0) -> FGMRESResult:
+    """FGMRES with the Krylov basis in double-single (two-f32) storage.
+
+    Semantics of :func:`fgmres` at f64 honesty (residual estimate trustworthy
+    to ~1e-12 relative), but every O(m n) vector operation — the CGS2
+    projections, the basis updates, the norms — runs in compensated pure-f32
+    arithmetic (ops/ds.py), avoiding the ~10x cost of XLA's emulated-f64
+    dense algebra on TPU.  This is the TPU-native expression of PETSc's
+    ``PetscReal = double`` KSP semantics (SURVEY.md 2.2 #2): same math,
+    hardware-matched representation.
+
+    Contracts: ``b`` is f64; ``matvec`` maps f64 -> f64 with f64-accurate
+    values (the DF32BlockSpMV compensated kernel); ``pc`` maps f32 -> f32
+    (flexible preconditioning: Z columns are whatever the PC returned, so
+    storing them in their native f32 loses nothing — the Arnoldi relation
+    uses the stored values themselves).  No recycling/restart support.
+    """
+    from ..ops import ds
+
+    n = b.shape[0]
+    m = maxiter
+    f64 = jnp.float64
+
+    b = b.astype(f64)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = ds.from_f64(b)
+    beta = ds.norm(r0)                                   # f64 scalar
+    inv0 = ds.from_f64(jnp.where(beta > 0, 1.0 / beta, 1.0))
+    v0 = ds.mul(r0, ds.DS(inv0.hi, inv0.lo))
+
+    Vhi0 = jnp.zeros((m + 1, n), jnp.float32).at[0].set(v0.hi)
+    Vlo0 = jnp.zeros((m + 1, n), jnp.float32).at[0].set(v0.lo)
+    Z0 = jnp.zeros((m, n), jnp.float32)
+    R0 = jnp.zeros((m, m), f64)
+    cs0 = jnp.ones(m, f64)
+    sn0 = jnp.zeros(m, f64)
+    g0 = jnp.zeros(m + 1, f64).at[0].set(beta)
+    hist0 = jnp.full(m + 1, beta, f64)
+
+    def cond(state):
+        k = state[0]
+        done = state[-1]
+        return jnp.logical_and(k < m, jnp.logical_not(done))
+
+    def body(state):
+        k, Vhi, Vlo, Z, R, cs, sn, g, hist, done = state
+        V = ds.DS(Vhi, Vlo)
+        z = pc(Vhi[k])                                   # f32 -> f32
+        Z = Z.at[k].set(z)
+        w = ds.from_f64(matvec(z.astype(f64)))
+
+        mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
+        wnorm_pre = ds.norm(w)
+        # masked CGS2 in compensated f32
+        h1 = ds.mat_dots(V, w)
+        h1 = ds.DS(h1.hi * mask, h1.lo * mask)
+        w = ds.update(w, V, h1)
+        h2 = ds.mat_dots(V, w)
+        h2 = ds.DS(h2.hi * mask, h2.lo * mask)
+        w = ds.update(w, V, h2)
+        h = ds.to_f64(ds.add(h1, h2))                    # (m+1,) f64
+
+        wnorm = ds.norm(w)
+        # near-breakdown at the ds precision level (~2^-45): see the f64
+        # path's comment — normalizing numerical noise decouples the
+        # residual estimate from the true residual
+        breakdown = wnorm <= 100.0 * 1e-13 * wnorm_pre
+        h = h.at[k + 1].set(wnorm)
+        winv = ds.from_f64(jnp.where(wnorm > 0, 1.0 / wnorm, 1.0))
+        vnew = ds.mul(w, ds.DS(winv.hi, winv.lo))
+        Vhi = Vhi.at[k + 1].set(vnew.hi)
+        Vlo = Vlo.at[k + 1].set(vnew.lo)
+
+        h = _rotation_sweep(h, cs, sn, m)
+        denom = jnp.hypot(h[k], h[k + 1])
+        safe = jnp.where(denom > 0, denom, 1.0)
+        ck = jnp.where(denom > 0, h[k] / safe, 1.0)
+        sk = jnp.where(denom > 0, h[k + 1] / safe, 0.0)
+        cs = cs.at[k].set(ck)
+        sn = sn.at[k].set(sk)
+        h = h.at[k].set(denom).at[k + 1].set(0.0)
+        R = R.at[:, k].set(h[:m])
+
+        res = jnp.abs(sk * g[k])
+        g = g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k])
+        hist = hist.at[k + 1].set(res)
+        done = jnp.logical_or(res <= tol, breakdown)
+        return (k + 1, Vhi, Vlo, Z, R, cs, sn, g, hist, done)
+
+    init = (jnp.array(0, jnp.int32), Vhi0, Vlo0, Z0, R0, cs0, sn0, g0,
+            hist0, beta <= tol)
+    k, Vhi, Vlo, Z, R, cs, sn, g, hist, done = lax.while_loop(
+        cond, body, init)
+
+    active = jnp.arange(m) < k
+    Rm = R + jnp.diag(jnp.where(active, 0.0, 1.0).astype(f64))
+    gm = jnp.where(active, g[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+    # x = Z^T y once per solve: y in f64, Z columns are exact f32 PC outputs
+    x = (Z.astype(f64).T @ y)
+
+    idx = jnp.minimum(jnp.arange(m + 1), k)
+    hist = hist[idx]
+    return FGMRESResult(x=x, iters=k, resnorms=hist, converged=done,
+                        bnorm=bnorm)
 
 
 def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m,

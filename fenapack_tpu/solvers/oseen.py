@@ -389,10 +389,13 @@ class OseenSolver:
         from ..ops.pallas_spmv import DF32BlockSpMV
         from ..runtime import Holder
         asm = self.asm
-        if not hasattr(asm.pat_p2_hi, "nbr"):
+        if not all(hasattr(p, "nbr") for p in
+                   (asm.pat_p2_hi, asm.pat_div_hi, asm.pat_divT_hi)):
             raise ValueError(
                 "krylov.df32_matvec requires block-layout f64 operators: "
-                "construct NSAssembler with block_size and hi_block=True")
+                "construct NSAssembler with block_size and hi_block=True "
+                "(note: patterns beyond FENAPACK_BLOCK_MAXFILL fill ratio "
+                "fall back to ELL and cannot feed the df32 kernel)")
         interp = jax.default_backend() != "tpu"
         mk = lambda p: DF32BlockSpMV.from_pattern(p, interpret=interp)
         self._df32_A1 = mk(asm.pat_p2_hi)
@@ -541,6 +544,12 @@ class OseenSolver:
                         matvec_hi, pc_hi, b64, rec,
                         maxiter=cfg.krylov.maxiter, rtol=rtol,
                         factor_dtype=self.dtype)
+                elif cfg.krylov.ds_basis:
+                    # f32-in/f32-out PC for the ds loop (no f64 casts on
+                    # the n-vector path)
+                    res = krylov_mod.fgmres_ds(
+                        matvec_hi, pc, b64,
+                        maxiter=cfg.krylov.maxiter, rtol=rtol)
                 else:
                     res = fgmres(matvec_hi, pc_hi, b64,
                                  maxiter=cfg.krylov.maxiter, rtol=rtol)

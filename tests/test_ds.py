@@ -94,6 +94,56 @@ def test_norm():
     assert abs(got - ref) / ref < 1e-12
 
 
+def test_fgmres_ds_unit():
+    """fgmres_ds solves a small nonsymmetric system to deep tolerance with
+    iteration counts matching the all-f64 fgmres (honest estimate)."""
+    from fenapack_tpu.solvers.krylov import fgmres, fgmres_ds
+
+    rng = np.random.default_rng(3)
+    n = 80
+    A = np.eye(n) * 4 + 0.5 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    A64 = jnp.asarray(A)
+    A32 = jnp.asarray(A.astype(np.float32))
+    dinv32 = jnp.asarray((1.0 / np.diag(A)).astype(np.float32))
+    dinv64 = jnp.asarray(1.0 / np.diag(A))
+
+    res64 = fgmres(lambda x: A64 @ x, lambda r: dinv64 * r, jnp.asarray(b),
+                   maxiter=n, rtol=1e-10)
+    res_ds = fgmres_ds(lambda x: A64 @ x, lambda r: dinv32 * r,
+                       jnp.asarray(b), maxiter=n, rtol=1e-10)
+    assert res_ds.converged
+    x = np.asarray(res_ds.x)
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert relres < 5e-10, relres
+    # same-quality estimate => comparable counts (flexible PC in f32 can
+    # shift the path by an iteration or two)
+    assert abs(int(res_ds.iters) - int(res64.iters)) <= 3, (
+        int(res_ds.iters), int(res64.iters))
+
+
+def test_hi_krylov_ds_parity():
+    """hi_krylov with ds_basis matches the f64-basis path: converged true
+    residual and per-step iteration counts within a couple iterations."""
+    from tests.test_solver import make_step_solver
+
+    counts = {}
+    for ds_on in (False, True):
+        nl = make_step_solver(0, "BRM2", **{
+            "dtype": "float32", "krylov.rtol": 2e-6, "krylov.maxiter": 80,
+            "krylov.hi_krylov": True, "krylov.ds_basis": ds_on})
+        ir = nl.oseen.make_ir_solve(rtol=1e-8)
+        w = nl.initial_state().astype(jnp.float64)
+        F = nl._residual(w)
+        b = -jnp.asarray(np.asarray(F), dtype=jnp.float64)
+        wind = w[: nl.n_u].astype(jnp.float32)
+        x, iters, rn = ir(wind, b)
+        bn = float(jnp.linalg.norm(b))
+        assert float(rn) <= 1.5e-8 * bn, (ds_on, float(rn) / bn)
+        counts[ds_on] = int(iters)
+    assert abs(counts[True] - counts[False]) <= 3, counts
+
+
 def test_scale_and_dynamic_row():
     x = _rand(100)
     d = ds.scale(ds.from_f64(jnp.asarray(x)), jnp.float32(3.0))
