@@ -79,6 +79,26 @@ def build_hierarchy(coarse, levels: int) -> MeshHierarchy:
 # P1 transfer operators (pressure space / any vertex-based field)
 # --------------------------------------------------------------------- #
 
+def _maybe_block_pattern(rows, cols, n_rows, n_cols, block):
+    """Block transfer pattern, or None when its fill ratio is pathological
+    (callers then keep the gather transfer path).
+
+    Same FENAPACK_BLOCK_MAXFILL policy as NSAssembler's operators: the
+    restriction direction (coarse block rows gathering scattered fine
+    columns) loses block locality with scale — measured m=232 neighbor
+    blocks (954 MB of tiles) for a P2 restriction at 761k dofs, vs a few
+    MB of gather stencils.  Transfers run once per V-cycle level, so the
+    gather cost is noise next to the smoothers.
+    """
+    import os
+    from ..ops.sparse import BlockSparsityPattern
+    pat = BlockSparsityPattern(rows, cols, n_rows, n_cols, block=block)
+    if pat.fill_ratio > float(os.environ.get("FENAPACK_BLOCK_MAXFILL",
+                                             "48")):
+        return None
+    return pat
+
+
 class P1Transfer:
     """Prolongation/restriction between two P1 levels from parent pairs.
 
@@ -112,16 +132,15 @@ class P1Transfer:
         self.dtype = dtype
         self._P = self._PT = None
         if block_size:
-            from ..ops.sparse import BlockSparsityPattern
             rows = np.arange(nf, dtype=np.int64).repeat(2)
             cols = np.stack([pa, pb], axis=1).ravel()
             vals = jnp.full(2 * nf, 0.5, dtype=dtype)
-            pat = BlockSparsityPattern(rows, cols, nf, n_coarse,
-                                       block=block_size)
-            self._P = pat.assemble(vals)
-            patT = BlockSparsityPattern(cols, rows, n_coarse, nf,
-                                        block=block_size)
-            self._PT = patT.assemble(vals)
+            pat = _maybe_block_pattern(rows, cols, nf, n_coarse,
+                                       block_size)
+            self._P = pat.assemble(vals) if pat is not None else None
+            patT = _maybe_block_pattern(cols, rows, n_coarse, nf,
+                                        block_size)
+            self._PT = patT.assemble(vals) if patT is not None else None
 
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
         if self._P is not None:
@@ -401,7 +420,6 @@ class P2Transfer:
         if self._block_size:
             # materialize P as block-sparse (TPU: tile SpMV >> gathers):
             # identity rows for fine vertices + basis-weight midpoint rows
-            from ..ops.sparse import BlockSparsityPattern
             nc = self.n_coarse
             rows = np.concatenate([rf[:nv_f].astype(np.int64),
                                    rf[nv_f:].astype(np.int64).repeat(nb2)])
@@ -409,12 +427,12 @@ class P2Transfer:
                                    rc[cdofs].astype(np.int64).ravel()])
             vals = jnp.concatenate([jnp.ones(nv_f, dtype),
                                     jnp.asarray(phi, dtype).ravel()])
-            pat = BlockSparsityPattern(rows, cols, self.n_fine, nc,
-                                       block=self._block_size)
-            self._P = pat.assemble(vals)
-            patT = BlockSparsityPattern(cols, rows, nc, self.n_fine,
-                                        block=self._block_size)
-            self._PT = patT.assemble(vals)
+            pat = _maybe_block_pattern(rows, cols, self.n_fine, nc,
+                                       self._block_size)
+            self._P = pat.assemble(vals) if pat is not None else None
+            patT = _maybe_block_pattern(cols, rows, nc, self.n_fine,
+                                        self._block_size)
+            self._PT = patT.assemble(vals) if patT is not None else None
 
     def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
         if self._P is not None:

@@ -102,3 +102,42 @@ def test_gmg_full_convergence():
     mg = build_gmg_solver()
     res = mg.solve(rtol=1e-5, max_steps=20)
     assert res.converged, res.nonlinear_res
+
+
+def test_transfer_maxfill_fallback_parity(monkeypatch):
+    """Transfers whose block fill exceeds FENAPACK_BLOCK_MAXFILL fall back
+    to the gather path with identical prolong/restrict values (761k-dof
+    HBM fix: a P2 restriction reached m=232 neighbor blocks / 954 MB)."""
+    hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), 1)
+    coarse, fine = hier.meshes[0], hier.meshes[1]
+    xc = np.random.default_rng(0).standard_normal(
+        fine.num_vertices).astype(np.float64)
+
+    t_block = gmg.P1Transfer(hier.parents[0], fine.num_vertices, jnp.float64,
+                             block_size=32)
+    monkeypatch.setenv("FENAPACK_BLOCK_MAXFILL", "0")
+    t_gather = gmg.P1Transfer(hier.parents[0], fine.num_vertices,
+                              jnp.float64, block_size=32)
+    assert t_block._P is not None and t_gather._P is None
+    pf_b = np.asarray(t_block.prolong(jnp.asarray(xc)))
+    pf_g = np.asarray(t_gather.prolong(jnp.asarray(xc)))
+    assert np.allclose(pf_b, pf_g, rtol=0, atol=1e-14)
+    rf = np.random.default_rng(1).standard_normal(t_block.n_fine)
+    rb = np.asarray(t_block.restrict(jnp.asarray(rf)))
+    rg = np.asarray(t_gather.restrict(jnp.asarray(rf)))
+    assert np.allclose(rb, rg, rtol=0, atol=1e-14)
+
+    # P2 transfer: same check through the velocity-space operator
+    t2_gather = gmg.P2Transfer(coarse, fine, jnp.float64, block_size=32)
+    assert t2_gather._P is None
+    monkeypatch.delenv("FENAPACK_BLOCK_MAXFILL")
+    t2_block = gmg.P2Transfer(coarse, fine, jnp.float64, block_size=32)
+    assert t2_block._P is not None
+    x2 = np.random.default_rng(2).standard_normal(t2_block.n_coarse)
+    assert np.allclose(np.asarray(t2_block.prolong(jnp.asarray(x2))),
+                       np.asarray(t2_gather.prolong(jnp.asarray(x2))),
+                       rtol=0, atol=1e-14)
+    r2 = np.random.default_rng(3).standard_normal(t2_block.n_fine)
+    assert np.allclose(np.asarray(t2_block.restrict(jnp.asarray(r2))),
+                       np.asarray(t2_gather.restrict(jnp.asarray(r2))),
+                       rtol=0, atol=1e-14)
