@@ -24,6 +24,9 @@ def main():
                     help="channel length (9.0 at l=3 gives the ~2M-DoF "
                          "config-4 scale)")
     ap.add_argument("--nu", type=float, default=0.05)
+    ap.add_argument("--supg", action="store_true",
+                    help="SUPG-stabilized system (BASELINE config 5 at 3D "
+                         "scale): use with a small --nu, e.g. 2e-3")
     ap.add_argument("--pcd", choices=["BRM1", "BRM2"], default="BRM2")
     ap.add_argument("--nls", choices=["picard", "newton"], default="picard")
     ap.add_argument("--rtol", type=float, default=1e-5)
@@ -87,7 +90,8 @@ def main():
     bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                 lambda x: np.zeros((x.shape[0], 3))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
-    over = {"pcd.variant": args.pcd, "dtype": dtype,
+    over = {"system_supg": args.supg,
+            "pcd.variant": args.pcd, "dtype": dtype,
             "velocity.method": args.velocity,
             "velocity.iters": args.velocity_iters,
             "krylov.maxiter": args.maxiter,
