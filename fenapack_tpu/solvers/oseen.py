@@ -523,6 +523,16 @@ class OseenSolver:
         dt_hi = jnp.dtype(self.asm.dtype)
         cfg = self.config
         kr = cfg.krylov.recycle
+        if cfg.krylov.hi_krylov and \
+                jnp.zeros((), dt_hi).dtype != jnp.dtype("float64"):
+            # without jax_enable_x64 every "f64" array silently truncates
+            # to f32 and the hi-Krylov residual estimate is dishonest
+            # (solves stall ~1e-4 relative) — fail loudly instead
+            raise RuntimeError(
+                "krylov.hi_krylov requires x64 semantics: call "
+                "fenapack_tpu.jax_setup.setup(x64=True) (or "
+                "jax.config.update('jax_enable_x64', True)) before "
+                "building the solver")
 
         def ir(wind, b, rec=None):
             wind_hi = wind.astype(dt_hi)
