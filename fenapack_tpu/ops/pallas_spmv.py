@@ -212,12 +212,17 @@ class PallasBSRSpMV:
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         )
-        y = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((nb, b), tiles.dtype),
-            grid_spec=grid_spec,
-            interpret=self.interpret,
-        )(nbr, tiles, xb)
+        # x64 semantics OFF around the trace: under global jax_enable_x64
+        # the Mosaic lowering embeds i64 index arithmetic that crashes the
+        # backend compiler (same bisect as DF32BlockSpMV; operands here are
+        # explicit f32/i32 so nothing changes semantically)
+        with jax.enable_x64(False):
+            y = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((nb, b), tiles.dtype),
+                grid_spec=grid_spec,
+                interpret=self.interpret,
+            )(nbr, tiles, xb)
         return y.reshape(-1)[:bell.n_rows]
 
 

@@ -130,10 +130,26 @@ def main():
               A1vals, wind, b32[: nl.n_u])
 
     if "fgmres" in stages:
-        res = timed("fgmres", lift_jit(
-            lambda wind, b: oseen._solve_impl(wind, b).iters,
-            oseen._lift_roots), wind, b32)
-        print("fgmres iters:", int(res), flush=True)
+        # variant ladder: cheapest/smallest-program PC first, so the crash
+        # point identifies which composition kills the worker
+        for tag, vover in [
+            ("cheb", {"velocity.method": "chebyshev", "velocity.iters": 10,
+                      "pcd.ap.method": "chebyshev", "pcd.ap.bounds": None,
+                      "pcd.ap.iters": 10}),
+            ("gmg1", {"velocity.cycles": 1, "pcd.ap.cycles": 1}),
+            ("gmg2", {}),
+        ]:
+            cfgv = overrides(cfg, vover)
+            nlv = NonlinearSolver(asm, bcs, cfgv,
+                                  ap_hierarchy=(None if tag == "cheb"
+                                                else ap_h),
+                                  velocity_hierarchy=(None if tag == "cheb"
+                                                      else v_h))
+            ov = nlv.oseen
+            res = timed(f"fgmres[{tag}]", lift_jit(
+                lambda wind, b, ov=ov: ov._solve_impl(wind, b).iters,
+                ov._lift_roots), wind, b32)
+            print(f"fgmres[{tag}] iters:", int(res), flush=True)
 
     if "ir" in stages:
         ir = oseen.make_ir_solve(rtol=1e-8)

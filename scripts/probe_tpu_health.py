@@ -174,6 +174,129 @@ def probe_df32():
               f"df32={t:.4f}ms f64={t64:.4f}ms f32={t32:.4f}ms", flush=True)
 
 
+
+
+def probe_cgs():
+    """Synthetic FGMRES-shaped program at 761k scale: big while_loop carry
+    (V (m+1, n) f32), masked CGS2 matmuls, Givens scan — no FEM setup, so
+    the worker-crash bisection iterates in minutes (the real fgmres program
+    crashes the axon worker at this scale while its components pass)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = int(os.environ.get("PROBE_N", "710000"))
+    m = int(os.environ.get("PROBE_M2", "60"))
+    iters = int(os.environ.get("PROBE_ITERS", "30"))
+    mode = os.environ.get("PROBE_MODE", "while")     # while|scan|matmul
+    print(f"backend: {jax.default_backend()}  n={n} m={m} mode={mode}",
+          flush=True)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    mv_kind = os.environ.get("PROBE_MV", "roll")   # roll|bell|pallas
+    if mv_kind in ("bell", "pallas"):
+        # real-shaped block operator (761k-scale: nb=n/32, m=30)
+        from fenapack_tpu.ops import sparse
+        bnb = n // 32
+        mm = int(os.environ.get("PROBE_BM", "30"))
+        nbr = np.zeros((bnb, mm), np.int32)
+        for j in range(mm):
+            nbr[:, j] = (np.arange(bnb) + j * 7) % bnb
+        tiles = (rng.standard_normal((bnb, 32, mm * 32)) / (mm * 32)
+                 ).astype(np.float32)
+        bell = sparse.BlockELL(tiles=jnp.asarray(tiles),
+                               nbr=jnp.asarray(nbr),
+                               n_rows=n, n_cols=n)
+        if mv_kind == "pallas":
+            os.environ["FENAPACK_PALLAS_BSR"] = "1"
+        else:
+            os.environ["FENAPACK_PALLAS_BSR"] = "0"
+
+        def fake_mv(x):
+            return x + bell.mv(x)
+    else:
+        def fake_mv(x):
+            # cheap stand-in operator: shift + scale (no gather)
+            return 0.5 * x + 0.25 * jnp.roll(x, 1) + 0.25 * jnp.roll(x, -1)
+
+    if mode == "matmul":
+        V = jnp.asarray(rng.standard_normal((m + 1, n)).astype(np.float32))
+
+        @jax.jit
+        def chain(w):
+            def body(x, _):
+                h = V @ x
+                x = x - V.T @ h
+                return x / (jnp.linalg.norm(x) + 1e-30), None
+            out, _ = lax.scan(body, w, None, length=iters)
+            return out
+        t0 = time.time()
+        jax.block_until_ready(chain(b))
+        print(f"matmul chain OK compile+run {time.time()-t0:.1f}s",
+              flush=True)
+        return
+
+    def run_fgmres_like():
+        V0 = jnp.zeros((m + 1, n), jnp.float32).at[0].set(
+            b / jnp.linalg.norm(b))
+        g0 = jnp.zeros(m + 1, jnp.float32).at[0].set(jnp.linalg.norm(b))
+        cs0 = jnp.ones(m, jnp.float32)
+        sn0 = jnp.zeros(m, jnp.float32)
+
+        def cond(state):
+            k = state[0]
+            return k < iters
+
+        def body(state):
+            k, V, cs, sn, g = state
+            w = fake_mv(V[k])
+            mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+            wn = jnp.linalg.norm(w)
+            h = h.at[k + 1].set(wn)
+            V = V.at[k + 1].set(w / jnp.where(wn > 0, wn, 1.0))
+            alpha = -sn
+            beta = cs * h[1:]
+
+            def comb(x, y):
+                a1, b1 = x
+                a2, b2 = y
+                return a2 * a1, a2 * b1 + b2
+            A, B = lax.associative_scan(comb, (alpha, beta))
+            a = jnp.concatenate([h[:1], A * h[0] + B])
+            out = cs * a[:m] + sn * h[1:]
+            h = jnp.concatenate([out, a[m:m + 1]])
+            denom = jnp.hypot(h[k], h[k + 1])
+            safe = jnp.where(denom > 0, denom, 1.0)
+            ck = jnp.where(denom > 0, h[k] / safe, 1.0)
+            sk = jnp.where(denom > 0, h[k + 1] / safe, 0.0)
+            cs = cs.at[k].set(ck)
+            sn = sn.at[k].set(sk)
+            g = g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k])
+            return (k + 1, V, cs, sn, g)
+
+        init = (jnp.array(0, jnp.int32), V0, cs0, sn0, g0)
+        if mode == "while":
+            k, V, cs, sn, g = lax.while_loop(cond, body, init)
+        else:
+            def sbody(c, _):
+                return body(c), None
+            (k, V, cs, sn, g), _ = lax.scan(sbody, init, None, length=iters)
+        return g
+
+    f = jax.jit(run_fgmres_like)
+    t0 = time.time()
+    g = jax.block_until_ready(f())
+    print(f"fgmres-like[{mode}] OK compile+run {time.time()-t0:.1f}s "
+          f"g1={float(g[1]):.3e}", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "bsr"
-    {"bsr": probe_bsr, "big3d": probe_big3d, "df32": probe_df32}[which]()
+    {"bsr": probe_bsr, "big3d": probe_big3d, "df32": probe_df32,
+     "cgs": probe_cgs}[which]()
