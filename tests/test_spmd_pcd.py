@@ -166,3 +166,32 @@ def test_spmd_solve_with_velocity_gmg(setup):
     r_true = np.asarray(-F - mv(x))
     rel = np.linalg.norm(r_true) / np.linalg.norm(np.asarray(F))
     assert rel < 5e-6, rel
+
+
+def test_spmd_nonlinear_driver_matches_single_device(setup):
+    """Production wiring: the SPMD Picard driver's nonlinear trajectory
+    matches the single-device driver's (both solve each linearized system
+    to rtol 1e-6, so the |F| sequences agree to ~solver tolerance)."""
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
+
+    nl, sp = setup
+    steps = 3
+
+    # reference: host Picard loop over the single-device Oseen solve
+    w_ref = nl.initial_state()
+    res_ref = []
+    for _ in range(steps):
+        F = nl._residual(w_ref)
+        res_ref.append(float(jnp.linalg.norm(F)))
+        r = nl.oseen.solve(w_ref[:nl.n_u], -F)
+        w_ref = w_ref + r.x
+
+    snl = SPMDNonlinearSolver(nl, spmd_solver=sp)
+    out = snl.solve(max_steps=steps, rtol=0.0)
+    assert len(out.nonlinear_res) == steps
+    assert out.linear_iters and all(k > 0 for k in out.linear_iters)
+    # same Picard contraction
+    res_ref = np.asarray(res_ref)
+    res_got = np.asarray(out.nonlinear_res)
+    assert np.allclose(res_got, res_ref, rtol=1e-3), (res_got, res_ref)
+    assert res_got[-1] < 0.2 * res_got[0]
