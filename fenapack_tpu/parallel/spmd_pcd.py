@@ -263,9 +263,11 @@ class SPMDPCDSolver:
         into ring layouts."""
         oseen, asm, dt = self.oseen, self.asm, self.dtype
         A1vals, R = oseen._operator_values(wind_asm.astype(self.dtype))
-        if R is not None:
+        if R is not None and self.velocity_gmg is not None:
             raise NotImplementedError(
-                "SPMD PCD solver currently supports the Picard operator")
+                "SPMD velocity GMG does not re-discretize the Newton "
+                "reaction block per level yet — use the minres velocity "
+                "subsolve (velocity_gmg=None) for Newton")
         kpvals = asm.kp_values(
             wind_asm.astype(self.dtype),
             surface=(oseen.config.pcd.variant == "BRM2")).astype(dt)
@@ -276,6 +278,15 @@ class SPMDPCDSolver:
                              diag_identity_pad=True)
         kp_ring = _FieldRing(Kp, self.n1r, self.n1p, self.n1r, self.n1p,
                              self.n_dev, self.axis, dt)
+        # Newton: the (d, d) convective-reaction block u_b d_b(u) rides as
+        # d^2 extra rings on the SAME P2 pattern (reference-parity:
+        # fenapack's Newton J vs Picard Oseen operator differ only here)
+        R_rings = None
+        if R is not None:
+            R_rings = [[_FieldRing(asm.pat_p2.matrix(R[a, b]), self.n2r,
+                                   self.n2p, self.n2r, self.n2p,
+                                   self.n_dev, self.axis, dt)
+                        for b in range(self.d)] for a in range(self.d)]
         a1_diag = np.zeros(self.n2p)
         a1_diag[:self.n2r] = np.asarray(
             A1.diag_from(asm.pat_p2.diag_pos))[:self.n2r]
@@ -294,7 +305,8 @@ class SPMDPCDSolver:
                        for r in self.D_rings),
             "DT": tuple(tuple(put(x) for x in r.operands())
                         for r in self.DT_rings),
-            "a1_dinv": put(self._put_u_diag(a1_diag)),
+            "a1_dinv": put(self._put_u_diag(a1_diag) if R is None else
+                           self._put_u_diag_newton(a1_diag, R)),
             "mask_u": put(self.mask_u_dm),
             "mask_p": put(self.mask_p_dm),
             "p_pad": put(self.p_pad_dm),
@@ -312,14 +324,29 @@ class SPMDPCDSolver:
                                                  NamedSharding(self.mesh, P()))
             ops["asm_from_gmg"] = jax.device_put(self._asm_from_gmg,
                                                  NamedSharding(self.mesh, P()))
+        if R_rings is not None:
+            ops["R"] = tuple(tuple(tuple(put(x) for x in r.operands())
+                                   for r in row) for row in R_rings)
         # ring objects used inside the local body (static layout info)
-        self._rings = dict(a1=a1_ring, kp=kp_ring)
+        self._rings = dict(a1=a1_ring, kp=kp_ring, R=R_rings)
         return ops
 
     def _put_u_diag(self, a1_diag):
         up = np.zeros(self.d * self.n2p)
         for a in range(self.d):
             up[a * self.n2p:(a + 1) * self.n2p] = a1_diag
+        return jnp.asarray(self._u_dm(1.0 / up), self.dtype)
+
+    def _put_u_diag_newton(self, a1_diag, R):
+        """Per-component Jacobi diagonal incl. the reaction block's
+        diagonal contribution diag(R[a, a])."""
+        asm = self.asm
+        up = np.zeros(self.d * self.n2p)
+        for a in range(self.d):
+            da = np.array(a1_diag)
+            da[:self.n2r] += np.asarray(asm.pat_p2.matrix(R[a, a]).diag_from(
+                asm.pat_p2.diag_pos))[:self.n2r]
+            up[a * self.n2p:(a + 1) * self.n2p] = da
         return jnp.asarray(self._u_dm(1.0 / up), self.dtype)
 
     # ---------------------------------------------------------------- #
@@ -343,6 +370,9 @@ class SPMDPCDSolver:
             return jnp.concatenate(us + [p])
 
         a1v, a1c = ops_loc["a1"]
+        R_ops = ops_loc.get("R")
+        R_rings = (None if R_ops is None else
+                   [[fr.ring for fr in row] for row in self._rings["R"]])
         kpv, kpc = ops_loc["kp"]
         mpv, mpc = ops_loc["mp"]
         mask_u = ops_loc["mask_u"]
@@ -354,12 +384,21 @@ class SPMDPCDSolver:
         mus = [mask_u[a * loc2:(a + 1) * loc2] for a in range(d)]
         fus = [1.0 - m for m in mus]
 
+        def reaction_mv(a, ufs):
+            """sum_b R[a, b] u_b (Newton coupling; zero for Picard)."""
+            y = 0.0
+            if R_rings is not None:
+                for b in range(d):
+                    rv, rc = R_ops[a][b]
+                    y = y + R_rings[a][b].mv_local(rv, rc, ufs[b])
+            return y
+
         def matvec_local(x_loc):
             us, p = split(x_loc)
             ufs = [f * u for f, u in zip(fus, us)]
             ys = []
             for a in range(d):
-                y = a1_ring.mv_local(a1v, a1c, ufs[a])
+                y = a1_ring.mv_local(a1v, a1c, ufs[a]) + reaction_mv(a, ufs)
                 dv, dc = ops_loc["DT"][a]
                 y = y + DT_rings[a].mv_local(dv, dc, p)
                 ys.append(fus[a] * y + mus[a] * us[a])
@@ -375,9 +414,10 @@ class SPMDPCDSolver:
 
         def vel_mv(u_all):
             us = [u_all[a * loc2:(a + 1) * loc2] for a in range(d)]
+            ufs = [f * u for f, u in zip(fus, us)]
             ys = []
             for a in range(d):
-                y = a1_ring.mv_local(a1v, a1c, fus[a] * us[a])
+                y = a1_ring.mv_local(a1v, a1c, ufs[a]) + reaction_mv(a, ufs)
                 ys.append(fus[a] * y + mus[a] * us[a])
             return jnp.concatenate(ys)
 
@@ -507,7 +547,7 @@ class SPMDPCDSolver:
 
 
 class SPMDNonlinearSolver:
-    """Picard driver whose linear Oseen solves run on the explicit-SPMD path.
+    """Picard/Newton driver whose linear solves run on the explicit-SPMD path.
 
     Production wiring of :class:`SPMDPCDSolver`: the nonlinear loop mirrors
     ``solvers.nonlinear.NonlinearSolver`` (the reference's
@@ -518,8 +558,10 @@ class SPMDNonlinearSolver:
     dependent element VALUES are re-bound (``build_operands``); the compiled
     sharded solve is traced once and reused.
 
-    Picard-only for now (Newton's reaction block is not yet expressed as
-    ring operators — ``build_operands`` raises for it).
+    Picard vs Newton follows the wrapped solver's ``linearization`` (as in
+    the reference, the same loop runs both — Newton adds the (d, d)
+    reaction rings).  Newton currently requires the minres velocity
+    subsolve (``velocity_gmg=None``).
     """
 
     def __init__(self, nl, device_mesh: Mesh = None, *, axis: str = "dd",

@@ -195,3 +195,68 @@ def test_spmd_nonlinear_driver_matches_single_device(setup):
     res_got = np.asarray(out.nonlinear_res)
     assert np.allclose(res_got, res_ref, rtol=1e-3), (res_got, res_ref)
     assert res_got[-1] < 0.2 * res_got[0]
+
+
+def test_spmd_newton(setup):
+    """Newton on the explicit-SPMD path: reaction rings make the sharded
+    matvec match the single-device Newton operator, and the driver shows
+    Newton-grade contraction from a Picard-warmed state."""
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver, \
+        SPMDPCDSolver
+
+    nl_pic, sp_pic = setup
+    asm = nl_pic.asm
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-8, "krylov.maxiter": 150,
+        "velocity.bounds": (0.05, 1.97)})
+    nl = NonlinearSolver(asm, bcs, cfg, linearization="newton")
+    sp = SPMDPCDSolver(nl.oseen, sp_pic.mesh, ap_gmg=sp_pic.ap_gmg,
+                       cheb_velocity_iters=16, maxiter=150, rtol=1e-8)
+
+    # warm start: 2 Picard steps on the single-device path
+    w = nl_pic.initial_state()
+    for _ in range(2):
+        F = nl_pic._residual(w)
+        w = w + nl_pic.oseen.solve(w[:nl_pic.n_u], -F).x
+
+    # sharded Newton matvec == single-device Newton matvec
+    oseen = nl.oseen
+    A1vals, R = oseen._operator_values(w[:nl.n_u])
+    assert R is not None
+    mv_ref = oseen._matvec_factory(A1vals, R)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(nl.n_u) * np.asarray(asm.u_active)
+    p = rng.standard_normal(nl.n - nl.n_u) * np.asarray(asm.p_active)
+    y_ref = np.asarray(mv_ref(jnp.asarray(np.concatenate([u, p]))))
+
+    from functools import partial
+    from fenapack_tpu.parallel.spmd import shard_map
+    from jax.sharding import PartitionSpec as P
+    ops = sp.build_operands(w[:nl.n_u])
+    ops_specs = jax.tree.map(lambda x: P("dd"), ops)
+    ops_specs["gmg_from_asm"] = P()
+    ops_specs["asm_from_gmg"] = P()
+
+    @partial(shard_map, mesh=sp.mesh, in_specs=(ops_specs, P("dd")),
+             out_specs=P("dd"))
+    def do_mv(ops_loc, x_loc):
+        mv_l, _ = sp._local_ops(ops_loc)
+        return mv_l(x_loc)
+
+    y_dm = np.asarray(do_mv(ops, jnp.asarray(sp.pack(u, p))))
+    yu, yp = sp.unpack(y_dm)
+    assert np.allclose(np.concatenate([yu, yp]), y_ref,
+                       rtol=1e-12, atol=1e-12)
+
+    # Newton contraction through the SPMD driver
+    snl = SPMDNonlinearSolver(nl, spmd_solver=sp)
+    out = snl.solve(w0=w, rtol=0.0, max_steps=3)
+    r = out.nonlinear_res
+    # step 1 still approaches the quadratic basin (factor ~0.23 measured);
+    # step 2 is inside it (factor ~0.012)
+    assert r[1] < 0.35 * r[0], r
+    assert r[2] < 0.05 * r[1], r
