@@ -493,6 +493,9 @@ class SPMDPCDSolver:
 
         variant = self.oseen.config.pcd.variant
         free_p = 1.0 - mask_p
+        # theta-scheme: Fp = Mp/dt + theta (nu Ap + Kp) — same factored
+        # applies as solvers/pcd.py (steady: theta=1, inv_dt=0)
+        theta, inv_dt = self.oseen.theta, self.oseen.inv_dt
 
         def kp_mv(x):
             return kp_ring.mv_local(kpv, kpc, x)
@@ -500,12 +503,12 @@ class SPMDPCDSolver:
         if variant == "BRM1":
             def schur(r_p):
                 w1 = ap_solve(free_p * r_p)
-                return -(mp_solve(r_p + kp_mv(w1)))
+                return -(theta * mp_solve(r_p + kp_mv(w1)) + inv_dt * w1)
         else:
             def schur(r_p):
                 w1 = mp_solve(r_p)
-                w2 = free_p * kp_mv(w1)
-                return -(w1 + ap_solve(w2))
+                w2 = free_p * (theta * kp_mv(w1) + inv_dt * r_p)
+                return -(theta * w1 + ap_solve(w2))
 
         def pc_local(r_loc):
             us, rp = split(r_loc)

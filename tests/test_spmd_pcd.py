@@ -260,3 +260,38 @@ def test_spmd_newton(setup):
     # step 2 is inside it (factor ~0.012)
     assert r[1] < 0.35 * r[0], r
     assert r[2] < 0.05 * r[1], r
+
+
+def test_spmd_unsteady_theta_scheme(setup):
+    """theta-scheme on the SPMD path: the Mp/dt PCD term + mass-augmented
+    velocity operator give a sharded solve whose solution satisfies the
+    single-device unsteady operator (implicit Euler, dt = 0.1)."""
+    from fenapack_tpu.solvers.oseen import OseenSolver
+
+    nl, sp0 = setup
+    asm = nl.asm
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-6, "krylov.maxiter": 120,
+        "velocity.bounds": (0.05, 1.97)})
+    oseen = OseenSolver(asm, bcs, cfg, theta=1.0, inv_dt=10.0)
+    sp = SPMDPCDSolver(oseen, sp0.mesh, ap_gmg=sp0.ap_gmg,
+                       cheb_velocity_iters=10, maxiter=120, rtol=1e-6)
+
+    w = nl.initial_state()
+    F = nl._residual(w)           # any well-posed RHS exercises the solve
+    ops = sp.build_operands(w[:nl.n_u])
+    b_dm = sp.pack(np.asarray(-F[:nl.n_u]), np.asarray(-F[nl.n_u:]))
+    x_dm, iters, rn = sp.solve(ops, b_dm)
+    iters = int(iters)
+    assert 0 < iters < 120, iters
+
+    xu, xp = sp.unpack(np.asarray(x_dm))
+    x = jnp.asarray(np.concatenate([xu, xp]))
+    mv = oseen._matvec_factory(*oseen._operator_values(w[:nl.n_u]))
+    r_true = np.asarray(-F - mv(x))
+    rel = np.linalg.norm(r_true) / np.linalg.norm(np.asarray(F))
+    assert rel < 5e-6, rel
