@@ -497,18 +497,37 @@ class SPMDPCDSolver:
         # applies as solvers/pcd.py (steady: theta=1, inv_dt=0)
         theta, inv_dt = self.oseen.theta, self.oseen.inv_dt
 
+        # enclosed flow (no pcd BCs): constant pressure nullspace projected
+        # out around the Ap solve and from the Schur output — the sharded
+        # form of solvers/pcd.py's project() (mean over REAL dofs via psum)
+        nullspace = getattr(self.oseen, "_nullspace", False)
+        act_p = 1.0 - p_pad
+        n_act = float(self.n1r)
+
+        def project(x):
+            if not nullspace:
+                return x
+            s = jax.lax.psum(jnp.sum(x * act_p), self.axis)
+            return x - (s / n_act) * act_p
+
+        def ap_inv(x):
+            if nullspace:
+                return project(ap_solve(project(x)))
+            return ap_solve(x)
+
         def kp_mv(x):
             return kp_ring.mv_local(kpv, kpc, x)
 
         if variant == "BRM1":
             def schur(r_p):
-                w1 = ap_solve(free_p * r_p)
-                return -(theta * mp_solve(r_p + kp_mv(w1)) + inv_dt * w1)
+                w1 = ap_inv(free_p * r_p)
+                return project(-(theta * mp_solve(r_p + kp_mv(w1))
+                                 + inv_dt * w1))
         else:
             def schur(r_p):
                 w1 = mp_solve(r_p)
                 w2 = free_p * (theta * kp_mv(w1) + inv_dt * r_p)
-                return -(theta * w1 + ap_solve(w2))
+                return project(-(theta * w1 + ap_inv(w2)))
 
         def pc_local(r_loc):
             us, rp = split(r_loc)
