@@ -148,7 +148,7 @@ class RingHaloELL:
     to :class:`RowBlockELL`).
     """
 
-    def __init__(self, ell: ELL, n_dev: int, axis: str):
+    def __init__(self, ell: ELL, n_dev: int, axis: str, valid=None):
         self.axis = axis
         n, K = ell.cols.shape
         n_cols = ell.n_cols
@@ -163,6 +163,15 @@ class RingHaloELL:
         self.n_dev = n_dev
         cols = np.asarray(ell.cols)
         vals = np.asarray(ell.vals)
+        # slot validity: the STRUCTURAL pattern when given.  Deriving it
+        # from vals != 0 is only safe for constant operators — for
+        # wind-dependent values (convection) entries that happen to be
+        # zero at the current wind would shrink the halo, baking a
+        # value-dependent layout into traced programs that are then reused
+        # with other winds (bisected 2026-08-17: Re-2000 SPMD solves built
+        # at the initial wind misindexed every later step's operators).
+        valid_all = (np.asarray(valid) if valid is not None
+                     else vals != 0)
 
         # halo width (in the COLUMN space): max reach of any row beyond the
         # column block co-owned with its row block, over all devices
@@ -171,7 +180,7 @@ class RingHaloELL:
             blk = cols[i * n_loc:(i + 1) * n_loc]
             # padded slots have col 0 and val 0 — exclude them from the
             # reach computation by re-pointing at the block start
-            valid = vals[i * n_loc:(i + 1) * n_loc] != 0
+            valid = valid_all[i * n_loc:(i + 1) * n_loc]
             c = np.where(valid, blk, i * c_loc)
             lo = int(c.min()) - i * c_loc
             hi = int(c.max()) - ((i + 1) * c_loc - 1)
@@ -188,8 +197,7 @@ class RingHaloELL:
         cols_ext = np.empty_like(cols)
         for i in range(n_dev):
             blk = slice(i * n_loc, (i + 1) * n_loc)
-            valid = vals[blk] != 0
-            c = np.where(valid, cols[blk], i * c_loc)
+            c = np.where(valid_all[blk], cols[blk], i * c_loc)
             cols_ext[blk] = c - (i * c_loc - h)
         self.cols_ext = jnp.asarray(cols_ext.astype(np.int32))
         self.vals = ell.vals

@@ -285,13 +285,21 @@ class SPMDVelocityGMG:
     """
 
     def __init__(self, vh, device_mesh: Mesh, *, axis: str = "dd",
-                 dtype=jnp.float64, smooth_iters: int = 4, cycles: int = 1):
+                 dtype=jnp.float64, smooth_iters: int = 4, cycles: int = 1,
+                 supg: bool = False, theta: float = 1.0,
+                 inv_dt: float = 0.0):
         self.vh = vh
         self.mesh = device_mesh
         self.axis = axis
         self.dtype = dtype
         self.smooth_iters = smooth_iters
         self.cycles = cycles
+        # level-operator extras, mirroring gmg.make_velocity_gmg_from_wind's
+        # level_values: SUPG stabilization (system_supg configs) and the
+        # theta-scheme mass term
+        self.supg = supg
+        self.theta = float(theta)
+        self.inv_dt = float(inv_dt)
         n_dev = device_mesh.devices.size
         self.n_dev = n_dev
         self.d = vh.asms[0].dim
@@ -388,8 +396,16 @@ class SPMDVelocityGMG:
                 nc = t.n_coarse
                 wind_c = np.concatenate(
                     [wl[a * n2:a * n2 + nc] for a in range(d)])
-            A1 = np.asarray(asm.picard_matrix_values(
-                jnp.asarray(wl, self.dtype)))
+            wl_dev = jnp.asarray(wl, self.dtype)
+            A1 = np.asarray(asm.picard_matrix_values(wl_dev))
+            if self.theta != 1.0 or self.inv_dt != 0.0:
+                M2 = asm.const.M2
+                M2v = np.asarray(M2.vals if M2 is not None
+                                 else asm.mass2_values()).reshape(A1.shape)
+                A1 = self.theta * A1 + self.inv_dt * M2v
+            if self.supg:
+                A1 = A1 + np.asarray(asm.supg_values(wl_dev)).reshape(
+                    A1.shape)
             vals = A1.reshape(-1)  # ELL layout (n2, K)
             A1 = A1.reshape(lvd["used"].shape)
             K = lvd["used"].shape[1]

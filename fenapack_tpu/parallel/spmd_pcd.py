@@ -42,26 +42,42 @@ def _pad_len(n: int, n_dev: int) -> int:
     return -(-n // n_dev) * n_dev
 
 
+def _pattern_used(pat) -> np.ndarray:
+    """(n_rows, K) bool: which ELL slots are structural in the pattern."""
+    used = np.zeros(pat.value_shape, dtype=bool).reshape(-1)
+    used[np.asarray(pat._upos)] = True
+    return used.reshape(pat.value_shape)
+
+
 class _FieldRing:
     """RingHaloELL over a padded field: rows [0, n_rows_real) + identity-free
     padding rows; columns live in a possibly different (padded) field."""
 
     def __init__(self, ell: ELL, n_rows_real, n_rows_pad, n_cols_real,
-                 n_cols_pad, n_dev, axis, dtype, diag_identity_pad=False):
+                 n_cols_pad, n_dev, axis, dtype, diag_identity_pad=False,
+                 used=None):
         cols = np.asarray(ell.cols)[:n_rows_real]
         vals = np.asarray(ell.vals)[:n_rows_real]
         K = cols.shape[1]
+        # structural slot mask: MUST come from the sparsity pattern for
+        # wind-dependent operators (vals != 0 is value-dependent and would
+        # bake the current wind's accidental zeros into the ring layout)
+        valid = (np.asarray(used)[:n_rows_real] if used is not None
+                 else vals != 0)
         nc = np.zeros((n_rows_pad, K), dtype=np.int32)
         nv = np.zeros((n_rows_pad, K))
-        nc[:n_rows_real] = np.where(vals != 0, cols, 0)
-        nv[:n_rows_real] = vals
+        va = np.zeros((n_rows_pad, K), dtype=bool)
+        nc[:n_rows_real] = np.where(valid, cols, 0)
+        nv[:n_rows_real] = np.where(valid, vals, 0.0)
+        va[:n_rows_real] = valid
         if diag_identity_pad:
             for i in range(n_rows_real, n_rows_pad):
                 nc[i, 0] = min(i, n_cols_pad - 1)
                 nv[i, 0] = 1.0
+                va[i, 0] = True
         e = ELL(cols=jnp.asarray(nc), vals=jnp.asarray(nv, dtype=dtype),
                 n_cols=n_cols_pad)
-        self.ring = RingHaloELL(e, n_dev, axis)
+        self.ring = RingHaloELL(e, n_dev, axis, valid=va)
         self.vals = e.vals
         self.cols = self.ring.cols_ext
 
@@ -273,19 +289,22 @@ class SPMDPCDSolver:
             surface=(oseen.config.pcd.variant == "BRM2")).astype(dt)
         A1 = asm.pat_p2.matrix(A1vals)
         Kp = asm.pat_p1.matrix(kpvals)
+        used_p2 = _pattern_used(asm.pat_p2)
+        used_p1 = _pattern_used(asm.pat_p1)
         a1_ring = _FieldRing(A1, self.n2r, self.n2p, self.n2r, self.n2p,
                              self.n_dev, self.axis, dt,
-                             diag_identity_pad=True)
+                             diag_identity_pad=True, used=used_p2)
         kp_ring = _FieldRing(Kp, self.n1r, self.n1p, self.n1r, self.n1p,
-                             self.n_dev, self.axis, dt)
+                             self.n_dev, self.axis, dt, used=used_p1)
         # Newton: the (d, d) convective-reaction block u_b d_b(u) rides as
         # d^2 extra rings on the SAME P2 pattern (reference-parity:
         # fenapack's Newton J vs Picard Oseen operator differ only here)
         R_rings = None
         if R is not None:
+            used_p2r = _pattern_used(asm.pat_p2)
             R_rings = [[_FieldRing(asm.pat_p2.matrix(R[a, b]), self.n2r,
                                    self.n2p, self.n2r, self.n2p,
-                                   self.n_dev, self.axis, dt)
+                                   self.n_dev, self.axis, dt, used=used_p2r)
                         for b in range(self.d)] for a in range(self.d)]
         a1_diag = np.zeros(self.n2p)
         a1_diag[:self.n2r] = np.asarray(
@@ -314,9 +333,19 @@ class SPMDPCDSolver:
         }
         self._a1_bounds = (float(lo), float(hi))
         if self.velocity_gmg is not None:
+            # the velocity GMG's assemblers are NATURAL-ordered; the wind
+            # arrives in the (RCM-reordered) solver-assembler ordering —
+            # bridge per component (new id = rank[nat], so nat = new[rank]).
+            # Passing the reordered wind through unpermuted scrambles the
+            # level convection operators: invisible at diffusion-dominated
+            # Re, fatal at Re >~ 1000 (bisected 2026-08-17).
+            rank = (np.asarray(asm.W.V.rank)
+                    if getattr(asm.W.V, "rank", None) is not None
+                    else np.arange(self.n2r))
+            wind_np = np.asarray(wind_asm)
             ops["vgmg"] = self.velocity_gmg.build_operands(
                 np.concatenate([
-                    np.asarray(wind_asm)[a * asm.n2: a * asm.n2 + self.n2r]
+                    wind_np[a * asm.n2: a * asm.n2 + self.n2r][rank]
                     for a in range(self.d)]))
         if self.ap_gmg is not None:
             ops["gmg"] = self.ap_gmg.sharded_operands()

@@ -349,3 +349,42 @@ def test_spmd_enclosed_cavity_nullspace():
     out = snl.solve(max_steps=4, rtol=0.0)
     r = out.nonlinear_res
     assert r[-1] < 0.1 * r[0], r
+
+
+def test_spmd_high_re_system_supg():
+    """Config-5 composition on the explicit-SPMD path: Re=2000 with the
+    SUPG-stabilized system (residual + lagged operator) and SUPG-folded
+    sharded velocity GMG levels.  The unstabilized Galerkin system at this
+    Re exhausts any budget (see test_system_supg.py control)."""
+    from fenapack_tpu.parallel.spmd_gmg import SPMDVelocityGMG
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
+
+    nu = 1e-3
+    hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), 1)
+    asm = NSAssembler(hier.fine, nu, dtype=jnp.float64, reorder=True)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-6, "krylov.maxiter": 400,
+        "system_supg": True})
+    nl = NonlinearSolver(asm, bcs, cfg)
+
+    dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
+    ph = gmg.PressureHierarchy(hier, jnp.float64,
+                               pcd_markers=[meshmod.OUTFLOW])
+    ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                             smooth_iters=2, cycles=2)
+    # standalone hierarchy (natural orderings): SPMDVelocityGMG computes
+    # its own per-level RCM ranks, which coincide with the solver asm's
+    vh = gmg.VelocityHierarchy(hier, nu, jnp.float64,
+                               bc_markers=[meshmod.WALL, meshmod.INFLOW])
+    vgmg = SPMDVelocityGMG(vh, dmesh, dtype=jnp.float64, smooth_iters=4,
+                           cycles=2, supg=True)
+    snl = SPMDNonlinearSolver(nl, dmesh, ap_gmg=ap_gmg, velocity_gmg=vgmg,
+                              maxiter=400, rtol_lin=1e-6)
+    out = snl.solve(max_steps=4, rtol=0.0, damping=0.7)
+    assert all(i < 400 for i in out.linear_iters), out.linear_iters
+    r = out.nonlinear_res
+    assert r[3] < 0.2 * r[0], r
