@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--supg", action="store_true",
                     help="SUPG-stabilized system + GMG subsolves (BASELINE "
                          "config 5: use with --nu 1e-3 for Re=2000)")
+    ap.add_argument("--nls", choices=["picard", "newton"], default="picard",
+                    help="linearization for the ring-path nonlinear solve")
     args = ap.parse_args()
 
     if "xla_force_host_platform_device_count" not in os.environ.get(
@@ -104,33 +106,56 @@ def main():
               f"{time.perf_counter() - t0:.1f} s (incl. compile)")
 
     if args.path in ("ring", "both"):
-        from fenapack_tpu.parallel.spmd_gmg import SPMDPressureGMG
-        from fenapack_tpu.parallel.spmd_pcd import SPMDPCDSolver
+        from fenapack_tpu.parallel.spmd_gmg import SPMDPressureGMG, \
+            SPMDVelocityGMG
+        from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
         hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), args.level)
         asm = NSAssembler(hier.fine, args.nu, dtype=jnp.float64,
                           reorder=True)
         bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                     lambda x: np.zeros((x.shape[0], 2))),
                DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+        maxiter = 400 if args.supg else 120
         cfg = overrides(SolverConfig(), {
             "pcd.variant": "BRM2", "dtype": "float64",
-            "krylov.rtol": 1e-6, "krylov.maxiter": 120})
-        nl = NonlinearSolver(asm, bcs, cfg)
+            "krylov.rtol": 1e-6, "krylov.maxiter": maxiter,
+            "system_supg": args.supg})
+        nl = NonlinearSolver(asm, bcs, cfg, linearization=args.nls)
         dmesh = Mesh(np.array(jax.devices()[:n_dev]), ("dd",))
         ph = gmg.PressureHierarchy(hier, jnp.float64,
                                    pcd_markers=[meshmod.OUTFLOW])
         ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
                                  smooth_iters=2, cycles=2)
-        sp = SPMDPCDSolver(nl.oseen, dmesh, ap_gmg=ap_gmg,
-                           cheb_velocity_iters=12, maxiter=120, rtol=1e-6)
-        w = nl.initial_state()
-        F = nl._residual(w)
-        ops = sp.build_operands(w[:nl.n_u])
-        b = sp.pack(np.asarray(-F[:nl.n_u]), np.asarray(-F[nl.n_u:]))
+        vgmg = None
+        if args.supg and args.nls != "newton":
+            # (Newton uses the minres velocity subsolve: the sharded GMG
+            # does not re-discretize the reaction block per level yet)
+            vh_n = gmg.VelocityHierarchy(
+                hier, args.nu, jnp.float64,
+                bc_markers=[meshmod.WALL, meshmod.INFLOW])
+            vgmg = SPMDVelocityGMG(vh_n, dmesh, dtype=jnp.float64,
+                                   smooth_iters=4, cycles=2, supg=True)
+        snl = SPMDNonlinearSolver(nl, dmesh, ap_gmg=ap_gmg,
+                                  velocity_gmg=vgmg,
+                                  cheb_velocity_iters=12,
+                                  maxiter=maxiter, rtol_lin=1e-6)
         t0 = time.perf_counter()
-        x_dm, iters, rn = sp.solve(ops, b)
-        print(f"[ring]  {n_dev} devices: ring-halo SPMD FGMRES, "
-              f"{int(iters)} iters, est res {float(rn):.2e}, "
+        w0 = None
+        if args.nls == "newton":
+            # Picard warm start into Newton's quadratic basin
+            nl_pic = NonlinearSolver(asm, bcs, cfg)
+            pic = SPMDNonlinearSolver(nl_pic, dmesh, ap_gmg=ap_gmg,
+                                      velocity_gmg=vgmg,
+                                      cheb_velocity_iters=12,
+                                      maxiter=maxiter, rtol_lin=1e-6)
+            w0 = pic.solve(max_steps=2, rtol=0.0).w
+        out = snl.solve(w0=w0, rtol=1e-5, max_steps=15,
+                        damping=0.7 if args.supg else 1.0)
+        sp = snl.sp
+        print(f"[ring]  {n_dev} devices: full {args.nls} solve over the "
+              f"ring-halo SPMD path: converged={out.converged} in "
+              f"{len(out.linear_iters)} steps, FGMRES iters/step "
+              f"{out.linear_iters}, |F| {out.nonlinear_res[-1]:.2e}, "
               f"{time.perf_counter() - t0:.1f} s (incl. compile); "
               f"halos: a1={sp._rings['a1'].ring.halo} "
               f"kp={sp._rings['kp'].ring.halo}")
