@@ -109,7 +109,7 @@ def build(level: int, variant: str, ls: str = "direct",
         marker = meshmod.INFLOW if variant == "BRM1" else meshmod.OUTFLOW
         ap_h = gmg.PressureHierarchy(hier, jnp.float32,
                                      pcd_markers=[marker],
-                                     block_size=block_size)
+                                     block_size=block_size, fine_asm=asm)
         # reuse the solver's assembler as the fine level: avoids a duplicate
         # full set of fine-grid operator constants in every jit program
         v_h = gmg.VelocityHierarchy(hier, 0.02, jnp.float32,

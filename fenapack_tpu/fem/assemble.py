@@ -210,23 +210,29 @@ class NSAssembler:
         # GMG transfers require) lose block locality with mesh size — the
         # neighbor-block count m grows ~4x per 3D refinement (measured m=45
         # -> 186 at 172k cells), and the tiles alone exhaust HBM (~5 GB at
-        # 761k dofs vs ~20 MB in ELL).  Any pattern whose fill ratio blows
-        # past FENAPACK_BLOCK_MAXFILL falls back to the compact ELL layout:
-        # D/DT are applied once per matvec (small share of its cost), so
-        # the gather penalty is noise while the memory win is the
-        # difference between fitting on one chip or not.
-        import os as _os
-        maxfill = float(_os.environ.get("FENAPACK_BLOCK_MAXFILL", "48"))
+        # 761k dofs vs ~20 MB in ELL).  Any pattern whose estimated tile
+        # bytes blow past the ops.sparse.block_layout_ok policy falls back
+        # to the compact ELL layout: D/DT are applied once per matvec
+        # (small share of its cost), so the gather penalty is noise while
+        # the memory win is the difference between fitting on one chip or
+        # not.
+        from ..ops.sparse import block_layout_ok
 
         def build_patterns(block):
             dofmaps = ((cd2, cd2, self.n2, self.n2),
                        (cd1, cd1, self.n1, self.n1),
                        (cd1, cd2, self.n1, self.n2),
                        (cd2, cd1, self.n2, self.n1))
+            # byte-budget scale by hotness: P2/P1 square operators run in
+            # every smoothing sweep; the rectangular div/grad only once
+            # per monolithic matvec
+            scales = (2.0, 2.0, 0.5, 0.5)
             pats = []
-            for (cr, cc, nr, ncol), width in zip(dofmaps, widths):
+            for (cr, cc, nr, ncol), width, sc in zip(dofmaps, widths,
+                                                     scales):
                 pat = pattern_from_dofmaps(cr, cc, nr, ncol, block=block)
-                if (block and getattr(pat, "fill_ratio", 0.0) > maxfill):
+                if (block and hasattr(pat, "fill_ratio")
+                        and not block_layout_ok(pat, scale=sc)):
                     pat = pattern_from_dofmaps(cr, cc, nr, ncol, block=None)
                 pat.pad_entries(nc_pad * width)
                 pats.append(pat)

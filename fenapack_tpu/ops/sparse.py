@@ -32,6 +32,30 @@ import jax
 import jax.numpy as jnp
 
 
+def block_layout_ok(pat, scale: float = 1.0) -> bool:
+    """Keep a block-tile layout, or evict to the compact gather/ELL path?
+
+    Primary criterion: estimated tile-plane BYTES (nb * m * b * b * 4,
+    f32) against ``scale * FENAPACK_BLOCK_MAXBYTES`` (base default 1e9) —
+    the 16 GB-HBM constraint that motivated eviction (3D rectangular
+    div/grad and GMG restriction tiles reach GBs at 761k dofs under any
+    ordering).  ``scale`` lets callers budget by hotness: the square P2
+    operator (3 SpMVs per matvec + every GMG smoothing sweep) earns a
+    bigger share of HBM than the once-per-matvec rectangular blocks.
+
+    The original ratio knob ``FENAPACK_BLOCK_MAXFILL`` (slots/nnz) still
+    applies when explicitly set, but as a DEFAULT it wrongly evicted the
+    2D bench patterns (fill 52-93 at a harmless 5-50 MB), silently
+    breaking the df32 block path.
+    """
+    import os
+    mf = os.environ.get("FENAPACK_BLOCK_MAXFILL")
+    if mf is not None and pat.fill_ratio > float(mf):
+        return False
+    maxbytes = float(os.environ.get("FENAPACK_BLOCK_MAXBYTES", "1e9"))
+    return pat.nb * pat.m * pat.block * pat.block * 4 <= scale * maxbytes
+
+
 def _use_pallas_bsr(nb: int, dtype) -> bool:
     """Route the block SpMV through the Pallas BSR kernel?
 

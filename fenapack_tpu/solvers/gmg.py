@@ -83,20 +83,16 @@ def _maybe_block_pattern(rows, cols, n_rows, n_cols, block):
     """Block transfer pattern, or None when its fill ratio is pathological
     (callers then keep the gather transfer path).
 
-    Same FENAPACK_BLOCK_MAXFILL policy as NSAssembler's operators: the
+    Same ops.sparse.block_layout_ok policy as NSAssembler's operators: the
     restriction direction (coarse block rows gathering scattered fine
     columns) loses block locality with scale — measured m=232 neighbor
     blocks (954 MB of tiles) for a P2 restriction at 761k dofs, vs a few
     MB of gather stencils.  Transfers run once per V-cycle level, so the
     gather cost is noise next to the smoothers.
     """
-    import os
-    from ..ops.sparse import BlockSparsityPattern
+    from ..ops.sparse import BlockSparsityPattern, block_layout_ok
     pat = BlockSparsityPattern(rows, cols, n_rows, n_cols, block=block)
-    if pat.fill_ratio > float(os.environ.get("FENAPACK_BLOCK_MAXFILL",
-                                             "48")):
-        return None
-    return pat
+    return pat if block_layout_ok(pat) else None
 
 
 class P1Transfer:
@@ -258,7 +254,7 @@ class PressureHierarchy:
                  pcd_markers: Sequence[int] = (),
                  fine_n1: Optional[int] = None,
                  block_size: Optional[int] = None,
-                 reorder: bool = False):
+                 reorder: bool = False, fine_asm=None):
         from ..fem.assemble import NSAssembler     # cycle-free at runtime
         self.hier = hier
         self.dtype = dtype
@@ -266,12 +262,31 @@ class PressureHierarchy:
         self.transfers = []
         self.fine_n1 = fine_n1
         self.reorder = reorder
+        if fine_asm is not None:
+            # reuse the solver's assembler at the (dominant) fine level —
+            # a fresh full NSAssembler there re-derives every P2/div
+            # pattern + constant this hierarchy never reads (measured 30s
+            # of the 47s PressureHierarchy build at 761k dofs)
+            if fine_asm.mesh is not hier.fine:
+                raise ValueError("fine_asm was built on a different mesh")
+            fa_reorder = getattr(fine_asm.W.Q, "rank", None) is not None
+            if fa_reorder != reorder:
+                raise ValueError(
+                    f"fine_asm reorder={fa_reorder} but hierarchy "
+                    f"reorder={reorder} — orderings must match")
+            if fine_asm.row_align != 1:
+                raise ValueError("fine_asm with row alignment padding "
+                                 "cannot seed the hierarchy fine level")
         q_ranks = []
+        L = len(hier.meshes)
         for l, mesh in enumerate(hier.meshes):
             # reorder=True: per-level RCM relabeling (block-sparse layouts
             # at scale); the transfers compose with the level ranks
-            asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2,
-                              block_size=block_size, reorder=reorder)
+            if fine_asm is not None and l == L - 1:
+                asm = fine_asm
+            else:
+                asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2,
+                                  block_size=block_size, reorder=reorder)
             Ap = asm.const.Ap.with_vals(asm.const.Ap.vals.astype(dtype))
             if pcd_markers:
                 dofs = asm.W.Q.facet_dofs(list(pcd_markers))

@@ -394,8 +394,9 @@ class OseenSolver:
             raise ValueError(
                 "krylov.df32_matvec requires block-layout f64 operators: "
                 "construct NSAssembler with block_size and hi_block=True "
-                "(note: patterns beyond FENAPACK_BLOCK_MAXFILL fill ratio "
-                "fall back to ELL and cannot feed the df32 kernel)")
+                "(note: patterns evicted by the ops.sparse.block_layout_ok "
+                "byte policy fall back to ELL and cannot feed the df32 "
+                "kernel)")
         interp = jax.default_backend() != "tpu"
         mk = lambda p: DF32BlockSpMV.from_pattern(p, interpret=interp)
         self._df32_A1 = mk(asm.pat_p2_hi)

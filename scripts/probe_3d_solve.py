@@ -58,7 +58,7 @@ def main():
             "krylov.rtol": 2e-6, "krylov.maxiter": args.maxiter}
     ap_h = gmg.PressureHierarchy(hier, jnp.float32,
                                  pcd_markers=[meshmod.OUTFLOW],
-                                 block_size=32, reorder=True)
+                                 block_size=32, reorder=True, fine_asm=asm)
     v_h = gmg.VelocityHierarchy(hier, 0.05, jnp.float32,
                                 bc_markers=[meshmod.WALL, meshmod.INFLOW],
                                 fine_asm=asm, block_size=32)
