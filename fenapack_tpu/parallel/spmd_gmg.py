@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.sparse import ELL
 from ..fem.dofmap import rcm_rank
-from .spmd import RingHaloELL, shard_map
+from .spmd import RingHaloELL, RowBlockELL, shard_map
 
 
 def _pad_to(x: np.ndarray, n: int, fill=0):
@@ -69,7 +69,17 @@ class _Level:
             new_vals[i, 0] = 1.0
         ell_new = ELL(cols=jnp.asarray(new_cols),
                       vals=jnp.asarray(new_vals, dtype=dtype), n_cols=n_pad)
-        self.ring = RingHaloELL(ell_new, n_dev, axis)
+        try:
+            self.ring = RingHaloELL(ell_new, n_dev, axis)
+        except ValueError:
+            # small/coarse levels (3D especially) can have RCM bandwidth
+            # exceeding the per-device column block — fall back to the
+            # all-gather SpMV: O(n_level) ICI traffic, bounded by the
+            # geometric series of level sizes, and identical semantics
+            self.ring = RowBlockELL(ell_new, axis)
+            self.ring.n_loc = n_pad // n_dev
+            self.ring.cols_ext = ell_new.cols    # NOT rebased:
+            self.ring.halo = 0                   # global column indices
 
         diag = np.zeros(n_pad)
         dmask = new_cols == np.arange(n_pad)[:, None]
@@ -141,9 +151,10 @@ class SPMDPressureGMG:
         vals = np.asarray(l0.vals, dtype=np.float64)
         h = l0.ring.halo
         n_loc = l0.ring.n_loc
+        rebased = not isinstance(l0.ring, RowBlockELL)
         for i in range(n_dev):                    # undo the halo rebasing
             blk = slice(i * n_loc, (i + 1) * n_loc)
-            c = cols[blk] + (i * n_loc - h)
+            c = cols[blk] + ((i * n_loc - h) if rebased else 0)
             c = np.clip(c, 0, l0.n_pad - 1)
             for rr in range(n_loc):
                 row = i * n_loc + rr

@@ -388,3 +388,58 @@ def test_spmd_high_re_system_supg():
     assert all(i < 400 for i in out.linear_iters), out.linear_iters
     r = out.nonlinear_res
     assert r[3] < 0.2 * r[0], r
+
+
+def test_spmd_3d_duct():
+    """Explicit-SPMD path in 3D (config-4 shape at smoke scale): ring
+    operators over the tet Taylor-Hood duct, sharded pressure GMG, true
+    residual + Picard contraction."""
+    from fenapack_tpu.fem import mesh3d
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
+
+    # coarse base = one refinement up: the 48-dof base mesh cannot be
+    # one-hop ring-sharded over 8 devices
+    hier = gmg.build_hierarchy(mesh3d.channel_mesh3d(1, length=2.0), 1)
+    asm = NSAssembler(hier.fine, 0.1, dtype=jnp.float64, quad_degree=4,
+                      reorder=True)
+
+    def duct_inflow(x):
+        v = np.zeros((x.shape[0], 3))
+        v[:, 0] = 16.0 * x[:, 1] * (1 - x[:, 1]) * x[:, 2] * (1 - x[:, 2])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 3))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], duct_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-6, "krylov.maxiter": 200})
+    nl = NonlinearSolver(asm, bcs, cfg)
+
+    dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
+    ph = gmg.PressureHierarchy(hier, jnp.float64,
+                               pcd_markers=[meshmod.OUTFLOW])
+    ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                             smooth_iters=2, cycles=2)
+    sp = SPMDPCDSolver(nl.oseen, dmesh, ap_gmg=ap_gmg,
+                       cheb_velocity_iters=12, maxiter=200, rtol=1e-6)
+
+    w = nl.initial_state()
+    F = nl._residual(w)
+    ops = sp.build_operands(w[:nl.n_u])
+    b_dm = sp.pack(np.asarray(-F[:nl.n_u]), np.asarray(-F[nl.n_u:]))
+    x_dm, iters, rn = sp.solve(ops, b_dm)
+    assert 0 < int(iters) < 200, int(iters)
+
+    xu, xp = sp.unpack(np.asarray(x_dm))
+    x = jnp.asarray(np.concatenate([xu, xp]))
+    mv = nl.oseen._matvec_factory(*nl.oseen._operator_values(w[:nl.n_u]))
+    rel = float(np.linalg.norm(np.asarray(-F - mv(x)))
+                / np.linalg.norm(np.asarray(F)))
+    assert rel < 5e-6, rel
+
+    # Picard contraction through the driver
+    snl = SPMDNonlinearSolver(nl, spmd_solver=sp)
+    out = snl.solve(max_steps=3, rtol=0.0)
+    r = out.nonlinear_res
+    assert r[-1] < 0.15 * r[0], r
