@@ -291,14 +291,15 @@ class SPMDVelocityGMG:
     inverse rebuilt with the wind.
 
     Vectors are per-level u-space device-major: chunk i = [ux_i|uy_i(|uz_i)]
-    of the padded scalar spaces.  Currently Picard-only (no Newton reaction
-    coupling), matching parallel/spmd_pcd.py.
+    of the padded scalar spaces.  ``newton=True`` re-discretizes the (d, d)
+    reaction coupling per level (ring planes on the shared P2 pattern +
+    a coupled dense coarse inverse).
     """
 
     def __init__(self, vh, device_mesh: Mesh, *, axis: str = "dd",
                  dtype=jnp.float64, smooth_iters: int = 4, cycles: int = 1,
                  supg: bool = False, theta: float = 1.0,
-                 inv_dt: float = 0.0):
+                 inv_dt: float = 0.0, newton: bool = False):
         self.vh = vh
         self.mesh = device_mesh
         self.axis = axis
@@ -306,11 +307,13 @@ class SPMDVelocityGMG:
         self.smooth_iters = smooth_iters
         self.cycles = cycles
         # level-operator extras, mirroring gmg.make_velocity_gmg_from_wind's
-        # level_values: SUPG stabilization (system_supg configs) and the
-        # theta-scheme mass term
+        # level_values: SUPG stabilization (system_supg configs), the
+        # theta-scheme mass term, and the Newton (d, d) reaction coupling
+        # (re-discretized per level from the injected wind)
         self.supg = supg
         self.theta = float(theta)
         self.inv_dt = float(inv_dt)
+        self.newton = newton
         n_dev = device_mesh.devices.size
         self.n_dev = n_dev
         self.d = vh.asms[0].dim
@@ -429,32 +432,78 @@ class SPMDVelocityGMG:
             diag[:n2] = dnat[lvd["inv"]]
             diag[n2:] = 1.0
             m = lvd["mask_s"]
-            diag = np.where(m > 0, 1.0, np.where(diag != 0, diag, 1.0))
-            dinv = self._u_dm_arr(np.concatenate([1.0 / diag] * d),
-                                  n_pad, lvd["loc"])
-            ops["levels"].insert(0, (
+            R = None
+            if self.newton:
+                # (d, d) reaction planes packed in the level layout
+                # (no identity padding: the padding rows live in A1's plane)
+                R = np.asarray(asm.newton_reaction_values(wl_dev))
+                if self.theta != 1.0:
+                    R = self.theta * R
+                Rpk = np.zeros((n_pad, d * d * K))
+                for a in range(d):
+                    for bb in range(d):
+                        Rab = R[a, bb].reshape(lvd["used"].shape)
+                        Rpk[:n2, (a * d + bb) * K:(a * d + bb + 1) * K] = \
+                            np.where(lvd["used"][lvd["inv"]],
+                                     Rab[lvd["inv"]], 0.0)
+            if R is not None:
+                # per-component Jacobi diagonal incl. diag(R[a, a])
+                comps = []
+                for a in range(d):
+                    da = diag.copy()
+                    da[:n2] += (R[a, a].reshape(-1)[
+                        lvd["diag_pos"]])[lvd["inv"]]
+                    da = np.where(m > 0, 1.0, np.where(da != 0, da, 1.0))
+                    comps.append(1.0 / da)
+                dinv = self._u_dm_arr(np.concatenate(comps), n_pad,
+                                      lvd["loc"])
+            else:
+                diag = np.where(m > 0, 1.0, np.where(diag != 0, diag, 1.0))
+                dinv = self._u_dm_arr(np.concatenate([1.0 / diag] * d),
+                                      n_pad, lvd["loc"])
+            entry = [
                 jax.device_put(jnp.asarray(nv, self.dtype), rows),
                 jax.device_put(lvd["cols_ext"], rows),
                 jax.device_put(jnp.asarray(dinv, self.dtype), rows),
-                jax.device_put(lvd["mask"], rows)))
+                jax.device_put(lvd["mask"], rows)]
+            if R is not None:
+                entry.append(jax.device_put(jnp.asarray(Rpk, self.dtype),
+                                            rows))
+            ops["levels"].insert(0, tuple(entry))
             if l == 0:
-                # replicated dense coarse inverse (block-diagonal over
-                # components; Picard operator is component-identical)
+                # replicated dense coarse inverse: block-diagonal over
+                # components for Picard; full (d, d)-coupled for Newton
                 import scipy.sparse as sp
                 pat = asm.pat_p2
-                vals_nat = A1.reshape(-1)[np.asarray(pat._upos)]
-                Adense = sp.csr_matrix(
-                    (vals_nat, (pat._urow, pat._ucol)),
-                    shape=(pat.n_rows, pat.n_cols)).toarray()[:n2, :n2]
-                # relabel to the level ordering + pad identity
-                rk = lvd["rank"]
-                Ar = np.zeros((n_pad, n_pad))
-                Ar[np.ix_(rk, rk)] = Adense
+
+                def dense_of(flat_vals):
+                    vn = flat_vals.reshape(-1)[np.asarray(pat._upos)]
+                    Ad = sp.csr_matrix(
+                        (vn, (pat._urow, pat._ucol)),
+                        shape=(pat.n_rows, pat.n_cols)).toarray()[:n2, :n2]
+                    rk = lvd["rank"]
+                    Ar = np.zeros((n_pad, n_pad))
+                    Ar[np.ix_(rk, rk)] = Ad
+                    return Ar
+
+                free = 1.0 - m
+                Ar = dense_of(A1)
                 for i in range(n2, n_pad):
                     Ar[i, i] = 1.0
-                free = 1.0 - m
-                Ar = free[:, None] * Ar * free[None, :] + np.diag(m)
-                Ainv = np.linalg.inv(Ar)
+                if R is None:
+                    Ar = (free[:, None] * Ar * free[None, :]
+                          + np.diag(m))
+                    Ainv = np.linalg.inv(Ar)
+                else:
+                    blocks = [[Ar + dense_of(R[a, a]) if a == bb
+                               else dense_of(R[a, bb])
+                               for bb in range(d)] for a in range(d)]
+                    A_full = np.block(blocks)
+                    m_full = np.concatenate([m] * d)
+                    f_full = 1.0 - m_full
+                    A_full = (f_full[:, None] * A_full * f_full[None, :]
+                              + np.diag(m_full))
+                    Ainv = np.linalg.inv(A_full)
                 ops["coarse_inv"] = jax.device_put(
                     jnp.asarray(Ainv, self.dtype),
                     NamedSharding(self.mesh, P()))
@@ -472,19 +521,26 @@ class SPMDVelocityGMG:
     # shard-local bodies (vectors: (d*loc,) per level)
     # ---------------------------------------------------------------- #
     def _mv(self, l, lops, x_loc):
-        vals, cols, dinv, mask = lops
+        vals, cols, dinv, mask = lops[:4]
+        Rv = lops[4] if len(lops) > 4 else None
         ring = self.lv[l]["ring"]
         d = self.d
         loc = self.lv[l]["loc"]
+        K = vals.shape[1]
         free = 1.0 - mask
         xf = free * x_loc
-        ys = [ring.mv_local(vals, cols, xf[a * loc:(a + 1) * loc])
-              for a in range(d)]
+        comps = [xf[a * loc:(a + 1) * loc] for a in range(d)]
+        ys = [ring.mv_local(vals, cols, comps[a]) for a in range(d)]
+        if Rv is not None:
+            for a in range(d):
+                for bb in range(d):
+                    sl = Rv[:, (a * d + bb) * K:(a * d + bb + 1) * K]
+                    ys[a] = ys[a] + ring.mv_local(sl, cols, comps[bb])
         return free * jnp.concatenate(ys) + mask * x_loc
 
     def _smooth(self, l, lops, b_loc, x_loc):
         from .spmd import psum_minres_smooth
-        vals, cols, dinv, mask = lops
+        vals, cols, dinv, mask = lops[:4]
         mv = lambda x: self._mv(l, lops, x)
         for _ in range(max(1, self.smooth_iters // 4)):
             x_loc = psum_minres_smooth(mv, dinv, 4, b_loc, x_loc, self.axis)
@@ -492,7 +548,7 @@ class SPMDVelocityGMG:
 
     def _cycle(self, l, b_loc, ops):
         lops = ops["levels"][l]
-        vals, cols, dinv, mask = lops
+        vals, cols, dinv, mask = lops[:4]
         d = self.d
         if l == 0:
             # device-major gather -> per-component natural-RCM vectors
@@ -501,6 +557,15 @@ class SPMDVelocityGMG:
             loc = self.lv[0]["loc"]
             bf = b_full.reshape(self.n_dev, d, loc)
             i = jax.lax.axis_index(self.axis)
+            if self.newton:
+                # coupled coarse: one (d*n_pad) solve with the block inverse
+                comp = jnp.concatenate(
+                    [bf[:, a, :].reshape(n_pad) for a in range(d)])
+                x = ops["coarse_inv"] @ comp
+                out = [jax.lax.dynamic_slice_in_dim(
+                    x[a * n_pad:(a + 1) * n_pad], i * loc, loc)
+                    for a in range(d)]
+                return jnp.concatenate(out)
             out = []
             for a in range(d):
                 comp = bf[:, a, :].reshape(n_pad)
@@ -518,7 +583,7 @@ class SPMDVelocityGMG:
         loc_f = self.lv[l]["loc"]
         npc = self.lv[l - 1]["n_pad"]
         loc_c = self.lv[l - 1]["loc"]
-        _, _, _, mask_c = ops["levels"][l - 1]
+        mask_c = ops["levels"][l - 1][3]
         rc_parts = []
         for a in range(d):
             ra = r[a * loc_f:(a + 1) * loc_f]

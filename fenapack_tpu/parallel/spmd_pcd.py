@@ -279,11 +279,12 @@ class SPMDPCDSolver:
         into ring layouts."""
         oseen, asm, dt = self.oseen, self.asm, self.dtype
         A1vals, R = oseen._operator_values(wind_asm.astype(self.dtype))
-        if R is not None and self.velocity_gmg is not None:
-            raise NotImplementedError(
-                "SPMD velocity GMG does not re-discretize the Newton "
-                "reaction block per level yet — use the minres velocity "
-                "subsolve (velocity_gmg=None) for Newton")
+        if (R is not None and self.velocity_gmg is not None
+                and not getattr(self.velocity_gmg, "newton", False)):
+            raise ValueError(
+                "Newton linearization with a Picard-level velocity GMG: "
+                "construct SPMDVelocityGMG(..., newton=True) so the levels "
+                "carry the reaction coupling")
         kpvals = asm.kp_values(
             wind_asm.astype(self.dtype),
             surface=(oseen.config.pcd.variant == "BRM2")).astype(dt)

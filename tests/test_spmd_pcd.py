@@ -443,3 +443,47 @@ def test_spmd_3d_duct():
     out = snl.solve(max_steps=3, rtol=0.0)
     r = out.nonlinear_res
     assert r[-1] < 0.15 * r[0], r
+
+
+def test_spmd_newton_velocity_gmg(setup):
+    """Newton reaction levels inside the sharded velocity GMG (ring
+    reaction planes + coupled dense coarse): the sharded Newton solve with
+    GMG on both blocks returns a true solution."""
+    from fenapack_tpu.parallel.spmd_gmg import SPMDVelocityGMG
+
+    nl_pic, sp_pic = setup
+    asm = nl_pic.asm
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-8, "krylov.maxiter": 150})
+    nl = NonlinearSolver(asm, bcs, cfg, linearization="newton")
+
+    hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), 1)
+    vh = gmg.VelocityHierarchy(hier, 0.02, jnp.float64,
+                               bc_markers=[meshmod.WALL, meshmod.INFLOW])
+    vgmg = SPMDVelocityGMG(vh, sp_pic.mesh, dtype=jnp.float64,
+                           smooth_iters=4, cycles=2, newton=True)
+    sp = SPMDPCDSolver(nl.oseen, sp_pic.mesh, ap_gmg=sp_pic.ap_gmg,
+                       velocity_gmg=vgmg, maxiter=150, rtol=1e-8)
+
+    # warm start past the quadratic-basin boundary
+    w = nl_pic.initial_state()
+    for _ in range(2):
+        F = nl_pic._residual(w)
+        w = w + nl_pic.oseen.solve(w[:nl_pic.n_u], -F).x
+
+    F = nl._residual(w)
+    ops = sp.build_operands(w[:nl.n_u])
+    b_dm = sp.pack(np.asarray(-F[:nl.n_u]), np.asarray(-F[nl.n_u:]))
+    x_dm, iters, rn = sp.solve(ops, b_dm)
+    assert 0 < int(iters) < 150, int(iters)
+
+    xu, xp = sp.unpack(np.asarray(x_dm))
+    x = jnp.asarray(np.concatenate([xu, xp]))
+    mv = nl.oseen._matvec_factory(*nl.oseen._operator_values(w[:nl.n_u]))
+    rel = float(np.linalg.norm(np.asarray(-F - mv(x)))
+                / np.linalg.norm(np.asarray(F)))
+    assert rel < 5e-6, rel
