@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--nls", choices=["picard", "newton"], default="picard",
                     help="linearization for the ring-path nonlinear solve")
     args = ap.parse_args()
+    if args.supg and args.nls == "newton":
+        ap.error("--supg stabilizes with the LAGGED (Picard) operator; the "
+                 "Newton reaction is not the Jacobian of the stabilized "
+                 "residual, so Newton loses superlinearity — use "
+                 "--nls picard for high-Re runs (as the reference does)")
 
     if "xla_force_host_platform_device_count" not in os.environ.get(
             "XLA_FLAGS", ""):
@@ -127,9 +132,7 @@ def main():
         ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
                                  smooth_iters=2, cycles=2)
         vgmg = None
-        if args.supg and args.nls != "newton":
-            # (Newton uses the minres velocity subsolve: the sharded GMG
-            # does not re-discretize the reaction block per level yet)
+        if args.supg:
             vh_n = gmg.VelocityHierarchy(
                 hier, args.nu, jnp.float64,
                 bc_markers=[meshmod.WALL, meshmod.INFLOW])
@@ -142,10 +145,10 @@ def main():
         t0 = time.perf_counter()
         w0 = None
         if args.nls == "newton":
-            # Picard warm start into Newton's quadratic basin
+            # Picard warm start into Newton's quadratic basin (minres
+            # velocity subsolve: the Newton-level vgmg belongs to snl)
             nl_pic = NonlinearSolver(asm, bcs, cfg)
             pic = SPMDNonlinearSolver(nl_pic, dmesh, ap_gmg=ap_gmg,
-                                      velocity_gmg=vgmg,
                                       cheb_velocity_iters=12,
                                       maxiter=maxiter, rtol_lin=1e-6)
             w0 = pic.solve(max_steps=2, rtol=0.0).w
