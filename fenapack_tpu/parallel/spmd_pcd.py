@@ -671,3 +671,73 @@ class SPMDNonlinearSolver:
                                linear_resnorms=lin_resnorms,
                                converged=converged,
                                wall_time=time.time() - t0)
+
+
+class SPMDUnsteadySolver:
+    """theta-scheme time stepping whose linear solves run explicit-SPMD.
+
+    Wraps a single-device :class:`solvers.unsteady.UnsteadySolver` (which
+    owns the theta-scheme residual and an OseenSolver carrying
+    ``theta``/``inv_dt`` — the sharded Schur apply picks those up); each
+    inner Picard solve is the ring-halo sharded FGMRES.
+    """
+
+    def __init__(self, us, device_mesh: Mesh = None, *, axis: str = "dd",
+                 ap_gmg: Optional[SPMDPressureGMG] = None,
+                 velocity_gmg=None, cheb_velocity_iters: int = 8,
+                 maxiter: int = 60, rtol_lin: float = 1e-6,
+                 spmd_solver: Optional[SPMDPCDSolver] = None):
+        self.us = us
+        if spmd_solver is not None:
+            self.sp = spmd_solver
+        else:
+            self.sp = SPMDPCDSolver(us.oseen, device_mesh, axis=axis,
+                                    ap_gmg=ap_gmg,
+                                    velocity_gmg=velocity_gmg,
+                                    cheb_velocity_iters=cheb_velocity_iters,
+                                    maxiter=maxiter, rtol=rtol_lin)
+
+    def step(self, w, *, picard_iters: int = 1, rtol: float = 1e-6):
+        us, sp = self.us, self.sp
+        n_u = us.n_u
+        u_old = w[:n_u]
+        total = 0
+        rn = None
+        for _ in range(max(picard_iters, 1)):
+            F = np.asarray(us._residual(w, u_old))
+            rn = float(np.linalg.norm(F))
+            if rn <= rtol:
+                break
+            ops = sp.build_operands(w[:n_u])
+            x_dm, k, _ = sp.solve(ops, sp.pack(-F[:n_u], -F[n_u:]))
+            du, dp = sp.unpack(np.asarray(x_dm))
+            w = w + jnp.asarray(np.concatenate([du, dp]), w.dtype)
+            total += int(k)
+        return w, total, rn
+
+    def solve(self, t_end: float, w0=None, *, picard_iters: int = 1,
+              keep_history: bool = False, callback=None):
+        import time
+        from ..solvers.unsteady import UnsteadyResult
+
+        us = self.us
+        t0 = time.perf_counter()
+        w = us.initial_state() if w0 is None else jnp.asarray(w0)
+        t = 0.0
+        times, iters, resid = [], [], []
+        hist = [] if keep_history else None
+        n_steps = int(round(t_end / us.dt))
+        for k in range(n_steps):
+            w, it, rn = self.step(w, picard_iters=picard_iters)
+            t += us.dt
+            times.append(t)
+            iters.append(it)
+            resid.append(rn)
+            if keep_history:
+                hist.append(np.asarray(w))
+            if callback is not None:
+                callback(k, t, w)
+        return UnsteadyResult(w=w, times=times, linear_iters=iters,
+                              step_res=resid,
+                              wall_time=time.perf_counter() - t0,
+                              history=hist)

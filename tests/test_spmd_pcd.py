@@ -487,3 +487,48 @@ def test_spmd_newton_velocity_gmg(setup):
     rel = float(np.linalg.norm(np.asarray(-F - mv(x)))
                 / np.linalg.norm(np.asarray(F)))
     assert rel < 5e-6, rel
+
+
+def test_spmd_unsteady_relaxes_to_poiseuille():
+    """SPMD time stepping (config-3 shape): implicit Euler over sharded
+    linear solves relaxes the channel onto Poiseuille flow — the same
+    physics oracle as the single-device test_unsteady."""
+    from fenapack_tpu.solvers.unsteady import UnsteadySolver
+    from fenapack_tpu.parallel.spmd_pcd import SPMDUnsteadySolver
+
+    hier = gmg.build_hierarchy(meshmod.channel_mesh(0, length=2.0), 1)
+    asm = NSAssembler(hier.fine, 0.1, dtype=jnp.float64, reorder=True)
+
+    def poiseuille(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], poiseuille)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "dtype": "float64",
+                                     "krylov.rtol": 1e-8,
+                                     "krylov.maxiter": 100})
+    us = UnsteadySolver(asm, bcs, cfg, dt=0.25)
+
+    dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
+    ph = gmg.PressureHierarchy(hier, jnp.float64,
+                               pcd_markers=[meshmod.OUTFLOW])
+    ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                             smooth_iters=2, cycles=2)
+    sus = SPMDUnsteadySolver(us, dmesh, ap_gmg=ap_gmg,
+                             cheb_velocity_iters=10, maxiter=100,
+                             rtol_lin=1e-8)
+    res = sus.solve(t_end=3.0, picard_iters=2)
+
+    w = np.asarray(res.w)
+    coords = asm.W.V.dof_coords()
+    uex = poiseuille(coords)
+    ux = w[:asm.n2][:asm.n2_real]
+    uy = w[asm.n2:2 * asm.n2][:asm.n2_real]
+    err = max(np.abs(ux - uex[:, 0]).max(), np.abs(uy - uex[:, 1]).max())
+    assert err < 2e-3, err
+    # Mp/dt keeps the per-step sharded solves cheap
+    assert max(res.linear_iters) < 100, res.linear_iters
