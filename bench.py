@@ -38,7 +38,6 @@ from fenapack_tpu.fem.assemble import NSAssembler
 from fenapack_tpu.fem.dofmap import DirichletBC
 from fenapack_tpu.solvers.config import SolverConfig, overrides
 from fenapack_tpu.solvers.nonlinear import NonlinearSolver
-from fenapack_tpu.ops.sparse import ELL
 
 
 def build(level: int, variant: str, ls: str = "direct",

@@ -23,7 +23,7 @@ fallback/optimization surface.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
