@@ -309,3 +309,29 @@ def channel_mesh(level: int = 0, length: float = 4.0) -> TriMesh:
         OUTFLOW: lambda x: x[:, 0] > length - tol,
     })
     return mesh
+
+
+def obstacle_channel_mesh(level: int = 0, length: float = 6.0) -> TriMesh:
+    """Channel [0,L]x[0,1] with a square obstacle [1.5,2]x[0.375,0.625].
+
+    The structured-mesh analogue of the reference's unsteady
+    flow-past-a-cylinder workload (BASELINE config 3 "channel/cylinder";
+    the square cylinder is itself a standard vortex-shedding benchmark).
+    Inflow x=0, outflow x=L; the obstacle surface carries WALL markers
+    automatically (it is boundary).  level 0 has h = 1/8.
+    """
+    h = 0.125 / (2 ** level)
+    ox0, ox1, oy0, oy1 = 1.5, 2.0, 0.375, 0.625
+    mesh = box_union_mesh([
+        (0.0, 0.0, ox0, 1.0),
+        (ox0, 0.0, ox1, oy0),
+        (ox0, oy1, ox1, 1.0),
+        (ox1, 0.0, length, 1.0),
+    ], h)
+    tol = 1e-9
+    mesh.mark_boundary({
+        WALL: lambda x: np.ones(x.shape[0], dtype=bool),
+        INFLOW: lambda x: x[:, 0] < tol,
+        OUTFLOW: lambda x: x[:, 0] > length - tol,
+    })
+    return mesh

@@ -72,3 +72,34 @@ def test_crank_nicolson_runs():
     res = solver.solve(t_end=1.0, picard_iters=1)
     assert np.all(np.isfinite(np.asarray(res.w)))
     assert res.step_res[-1] < 1.0
+
+
+def test_obstacle_channel_unsteady():
+    """Flow past a square obstacle (BASELINE config 3 'channel/cylinder'
+    analogue): implicit-Euler stepping with per-step PCD solves stays
+    cheap, conserves mass, and respects the velocity bound."""
+    from fenapack_tpu.fem.mesh import obstacle_channel_mesh
+
+    mesh = obstacle_channel_mesh(0)
+    asm = NSAssembler(mesh, 0.02)       # Re ~ 50 on the obstacle scale
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], poiseuille)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "krylov.rtol": 1e-8,
+                                     "krylov.maxiter": 150})
+    solver = UnsteadySolver(asm, bcs, cfg, dt=0.2)
+    res = solver.solve(t_end=2.0, picard_iters=2)
+
+    assert max(res.linear_iters) < 150, res.linear_iters
+    w = np.asarray(res.w)
+    n2 = asm.n2
+    div = sum(np.asarray(asm.const.D[a].mv(
+        jnp.asarray(w[a * n2:(a + 1) * n2]))) for a in range(2))
+    assert np.abs(div).max() < 1e-9, np.abs(div).max()
+    assert np.abs(w[:2 * n2]).max() < 2.0   # bounded flow (inflow peak 1)
+    # the wake behind the obstacle actually moves (flow went around it)
+    coords = asm.W.V.dof_coords()
+    wake = (coords[:, 0] > 2.0) & (coords[:, 0] < 3.0)
+    assert np.abs(w[:n2][:asm.n2_real][wake[:asm.n2_real]]).max() > 0.3
