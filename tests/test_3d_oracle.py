@@ -10,6 +10,7 @@ JAX path with exact (dense-LU) subsolves.  Reference-parity: the
 ``--ls direct`` path of fenapack's demo (MUMPS-exact subsolves).
 """
 import numpy as np
+import pytest
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 import jax.numpy as jnp
@@ -39,7 +40,8 @@ def mask_sym(A, mask):
     return free @ A @ free + sp.diags(mask)
 
 
-def test_3d_duct_counts_match_scipy_exact_pcd():
+@pytest.mark.parametrize("variant", ["BRM2", "BRM1"])
+def test_3d_duct_counts_match_scipy_exact_pcd(variant):
     nu = 0.1
     mesh = mesh3d.channel_mesh3d(0, length=2.0)
     asm = NSAssembler(mesh, nu, dtype=jnp.float64, quad_degree=4)
@@ -50,7 +52,7 @@ def test_3d_duct_counts_match_scipy_exact_pcd():
                                 lambda x: np.zeros((x.shape[0], 3))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], duct_inflow)]
     cfg = overrides(SolverConfig(), {
-        "pcd.variant": "BRM2", "dtype": "float64",
+        "pcd.variant": variant, "dtype": "float64",
         "krylov.rtol": 1e-8, "krylov.maxiter": 200,
         "velocity.method": "lu", "pcd.ap.method": "lu",
         "pcd.mp.method": "lu"})
@@ -72,10 +74,15 @@ def test_3d_duct_counts_match_scipy_exact_pcd():
     Ap_lu = spla.splu(Ap.tocsc())
     free_p = 1.0 - pcd_mask
 
-    def pcd_apply(kp_csr, r_p):           # BRM2 (solvers/pcd.py semantics)
-        w1 = Mp_lu.solve(r_p)
-        w2 = free_p * (kp_csr @ w1)
-        return -(w1 + Ap_lu.solve(w2))
+    if variant == "BRM2":
+        def pcd_apply(kp_csr, r_p):       # solvers/pcd.py semantics
+            w1 = Mp_lu.solve(r_p)
+            w2 = free_p * (kp_csr @ w1)
+            return -(w1 + Ap_lu.solve(w2))
+    else:
+        def pcd_apply(kp_csr, r_p):       # BRM1: Ap first, inflow rows
+            w1 = Ap_lu.solve(free_p * r_p)
+            return -Mp_lu.solve(r_p + kp_csr @ w1)
 
     # Picard loop: ORACLE (scipy) solves drive the trajectory; at every
     # linearization point the JAX exact-subsolve path must take comparable
@@ -100,7 +107,8 @@ def test_3d_duct_counts_match_scipy_exact_pcd():
         Jm = mask_sym(J, mask_full).tocsr()
         A_uu_lu = spla.splu(Jm[:n_u, :n_u].tocsc())
         kp_csr = to_csr(asm.pat_p1,
-                        asm.kp_values(jnp.asarray(wind), surface=True),
+                        asm.kp_values(jnp.asarray(wind),
+                                      surface=(variant == "BRM2")),
                         (n1, n1))
 
         def fs_apply(r):
