@@ -487,6 +487,32 @@ class OseenSolver:
         """Solve the Oseen system linearized at ``wind`` with RHS ``b``."""
         return self._solve_jit(wind.astype(self.dtype), b.astype(self.dtype))
 
+    def solve_batch(self, wind: jnp.ndarray, B: jnp.ndarray):
+        """Solve one linearized system against a BATCH of right-hand sides
+        (B: (nb, n)) with a single vmapped FGMRES program — the TPU
+        batch-of-problems axis the MPI reference has no analogue for
+        (SURVEY.md section 2.3): parameter sweeps, multiple forcings,
+        adjoint/sensitivity RHS all amortize one operator setup.
+
+        Returns ``(X, iters, converged)`` with leading batch axes.
+
+        TPU precision caveat: under vmap the CGS2 projections lower as
+        BATCHED matmuls, which the MXU runs at reduced precision (see
+        doc/tpu_design.md) — residual estimates are trustworthy to ~1e-6
+        relative here, so use rtol >= 1e-6 in compute f32 (the IR/hi paths
+        cover tighter tolerances one RHS at a time).
+        """
+        from ..runtime import lift_jit
+
+        def batched(w_, B_):
+            def one(b):
+                r = self._solve_impl(w_, b)
+                return r.x, r.iters, r.converged
+            return jax.vmap(one)(B_)
+
+        fn = lift_jit(batched, self._lift_roots)
+        return fn(wind.astype(self.dtype), B.astype(self.dtype))
+
     # -------------------------------------------------------------- #
     def _pipeline(self, wind):
         """Build (matvec, pc) for the compute-precision pipeline at ``wind``

@@ -113,3 +113,45 @@ def test_cavity_enclosed_damped():
     res = solver.solve(rtol=1e-4, max_steps=25, damping=0.8)
     assert res.converged, res.nonlinear_res
     assert max(res.linear_iters) < 100
+
+
+def test_solve_batch_multiple_rhs():
+    """Batch-of-problems vmap axis (SURVEY 2.3): one vmapped FGMRES
+    program solves several RHS against one linearized operator."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fenapack_tpu.fem import mesh as meshmod
+    from fenapack_tpu.fem.assemble import NSAssembler
+    from fenapack_tpu.fem.dofmap import DirichletBC
+    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+
+    mesh = meshmod.backward_step_mesh(0)
+    asm = NSAssembler(mesh, 0.02, dtype=jnp.float64)
+
+    def inflow(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "dtype": "float64",
+                                     "krylov.rtol": 1e-8})
+    nl = NonlinearSolver(asm, bcs, cfg)
+    oseen = nl.oseen
+    w = nl.initial_state()
+    wind = w[:nl.n_u]
+
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(rng.standard_normal((4, nl.n)))
+    X, iters, conv = oseen.solve_batch(wind, B)
+    assert bool(np.all(np.asarray(conv)))
+
+    mv = oseen._matvec_factory(*oseen._operator_values(wind))
+    for i in range(4):
+        rel = float(jnp.linalg.norm(B[i] - mv(X[i]))
+                    / jnp.linalg.norm(B[i]))
+        assert rel < 1e-7, (i, rel)
