@@ -155,3 +155,22 @@ def test_solve_batch_multiple_rhs():
         rel = float(jnp.linalg.norm(B[i] - mv(X[i]))
                     / jnp.linalg.norm(B[i]))
         assert rel < 1e-7, (i, rel)
+
+
+def test_re_mild_growth():
+    """PCD property (BASELINE literature anchors): iteration counts grow
+    only MILDLY with Reynolds number — well below linear in Re."""
+    counts = []
+    for nu in (0.1, 0.02, 0.01):            # Re ~ 20, 100, 200
+        mesh = meshmod.backward_step_mesh(0)
+        asm = NSAssembler(mesh, nu)
+        bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                    lambda x: np.zeros((x.shape[0], 2))),
+               DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+        cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2"})
+        nl = NonlinearSolver(asm, bcs, cfg)
+        res = nl.solve(rtol=1e-2, max_steps=4, damping=0.8)
+        counts.append(max(res.linear_iters))
+    # Re grows 10x across the sweep; counts must grow far slower
+    assert counts[-1] < 3.0 * counts[0], counts
+    assert counts[-1] < 100, counts
