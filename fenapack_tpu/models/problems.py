@@ -1,0 +1,215 @@
+"""Canonical problem definitions — the "model zoo" of a PDE framework.
+
+The reference's workloads are its demo scripts (fenapack
+``demo/navier-stokes-pcd``); here each is a small declarative class that
+builds the assembler, boundary conditions and (optionally GMG-equipped)
+solver in one call, so demos, tests and user code share one entry point:
+
+    from fenapack_tpu.models import StepFlow2D
+    nl = StepFlow2D(level=2, nu=0.02).solver(pcd="BRM2", gmg=True)
+    res = nl.solve(rtol=1e-5)
+
+Every problem exposes:
+  * ``mesh()``        — the marked mesh (hierarchy when ``gmg``);
+  * ``assembler()``   — a ready NSAssembler;
+  * ``bcs(asm)``      — the velocity Dirichlet set;
+  * ``solver(...)``   — a NonlinearSolver (or UnsteadySolver via
+    ``unsteady=dt``), with dotted config overrides passed through.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fem import mesh as meshmod
+from ..fem import mesh3d
+from ..fem.assemble import NSAssembler
+from ..fem.dofmap import DirichletBC
+from ..solvers.config import SolverConfig, overrides
+from ..solvers.nonlinear import NonlinearSolver
+from ..solvers.unsteady import UnsteadySolver
+from ..solvers import gmg
+
+
+def _zero(d):
+    return lambda x: np.zeros((x.shape[0], d))
+
+
+@dataclasses.dataclass
+class _ProblemBase:
+    level: int = 0
+    nu: float = 0.02
+    dtype: str = "float64"
+    dim: int = 2
+
+    # -- overridable pieces -------------------------------------------- #
+    def _base_mesh(self):
+        raise NotImplementedError
+
+    def inflow_profile(self):
+        raise NotImplementedError
+
+    def inflow_marker(self):
+        return meshmod.INFLOW
+
+    def enclosed(self) -> bool:
+        return False
+
+    def pcd_marker_for(self, variant: str):
+        """Facet marker carrying the pressure Dirichlet rows."""
+        if self.enclosed():
+            return meshmod.INFLOW if variant == "BRM1" else None
+        return (meshmod.INFLOW if variant == "BRM1" else meshmod.OUTFLOW)
+
+    # -- builders ------------------------------------------------------ #
+    def mesh(self, gmg_levels: Optional[int] = None):
+        if gmg_levels is None:
+            m = self._base_mesh()
+            for _ in range(self.level):
+                m = (meshmod.refine_uniform(m)[0] if self.dim == 2
+                     else mesh3d.refine_uniform3d(m)[0])
+            return m
+        return gmg.build_hierarchy(self._base_mesh(),
+                                   max(self.level, gmg_levels))
+
+    def assembler(self, mesh=None, **asm_kw):
+        m = self.mesh() if mesh is None else mesh
+        kw = dict(dtype=jnp.float64 if self.dtype == "float64"
+                  else jnp.float32)
+        if self.dim == 3:
+            kw.setdefault("quad_degree", 4)
+        kw.update(asm_kw)
+        return NSAssembler(m, self.nu, **kw)
+
+    def bcs(self, asm):
+        return [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                     _zero(self.dim)),
+                DirichletBC.velocity(asm.W, [self.inflow_marker()],
+                                     self.inflow_profile())]
+
+    def solver(self, pcd: str = "BRM2", linearization: str = "picard",
+               gmg_subsolves: bool = False, unsteady: Optional[float] = None,
+               theta: float = 1.0, asm=None, **config_overrides):
+        """Build the solver.  ``gmg_subsolves`` equips velocity/Ap GMG
+        hierarchies; ``unsteady=dt`` returns an UnsteadySolver."""
+        over = {"pcd.variant": pcd, "dtype": self.dtype}
+        ap_h = v_h = None
+        if gmg_subsolves:
+            hier = self.mesh(gmg_levels=self.level)
+            asm = self.assembler(hier.fine) if asm is None else asm
+            over.update({"velocity.method": "gmg", "pcd.ap.method": "gmg"})
+            jdt = jnp.float64 if self.dtype == "float64" else jnp.float32
+            marker = self.pcd_marker_for(pcd)
+            ap_h = gmg.PressureHierarchy(
+                hier, jdt, pcd_markers=[marker] if marker else (),
+                fine_asm=asm)
+            v_h = gmg.VelocityHierarchy(
+                hier, self.nu, jdt,
+                bc_markers=[meshmod.WALL, self.inflow_marker()],
+                fine_asm=asm)
+        elif asm is None:
+            asm = self.assembler()
+        over.update(config_overrides)
+        cfg = overrides(SolverConfig(), over)
+        bcs = self.bcs(asm)
+        if unsteady is not None:
+            return UnsteadySolver(asm, bcs, cfg, dt=unsteady, theta=theta,
+                                  linearization=linearization,
+                                  enclosed=self.enclosed(),
+                                  ap_hierarchy=ap_h, velocity_hierarchy=v_h)
+        return NonlinearSolver(asm, bcs, cfg, linearization=linearization,
+                               enclosed=self.enclosed(),
+                               ap_hierarchy=ap_h, velocity_hierarchy=v_h)
+
+
+@dataclasses.dataclass
+class StepFlow2D(_ProblemBase):
+    """2D backward-facing step (the reference demo; BASELINE config 1)."""
+    length: float = 5.0
+
+    def _base_mesh(self):
+        return meshmod.backward_step_mesh(0, length=self.length)
+
+    def inflow_profile(self):
+        def f(x):
+            v = np.zeros((x.shape[0], 2))
+            v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+            return v
+        return f
+
+
+@dataclasses.dataclass
+class LidDrivenCavity(_ProblemBase):
+    """Lid-driven cavity (enclosed flow; BASELINE config 2)."""
+    nu: float = 0.002            # Re = 500
+
+    def _base_mesh(self):
+        return meshmod.cavity_mesh(0)
+
+    def enclosed(self):
+        return True
+
+    def inflow_profile(self):
+        def lid(x):
+            v = np.zeros((x.shape[0], 2))
+            v[:, 0] = 1.0
+            return v
+        return lid
+
+
+@dataclasses.dataclass
+class Channel2D(_ProblemBase):
+    """Straight channel (Poiseuille; unsteady workload of config 3)."""
+    length: float = 4.0
+    nu: float = 0.1
+
+    def _base_mesh(self):
+        return meshmod.channel_mesh(0, length=self.length)
+
+    def inflow_profile(self):
+        def f(x):
+            v = np.zeros((x.shape[0], 2))
+            v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+            return v
+        return f
+
+
+@dataclasses.dataclass
+class ObstacleChannel2D(Channel2D):
+    """Channel with a square obstacle (config 3 'channel/cylinder')."""
+    length: float = 6.0
+    nu: float = 0.02
+
+    def _base_mesh(self):
+        return meshmod.obstacle_channel_mesh(0, length=self.length)
+
+
+@dataclasses.dataclass
+class StepFlow3D(_ProblemBase):
+    """3D backward-facing step (BASELINE config 4)."""
+    dim: int = 3
+    nu: float = 0.05
+    length: float = 3.0
+
+    def _base_mesh(self):
+        return mesh3d.backward_step_mesh3d(0, length=self.length)
+
+    def inflow_profile(self):
+        def f(x):
+            v = np.zeros((x.shape[0], 3))
+            v[:, 0] = 16.0 * x[:, 1] * (1 - x[:, 1]) * x[:, 2] * (1 - x[:, 2])
+            return v
+        return f
+
+
+@dataclasses.dataclass
+class Duct3D(StepFlow3D):
+    """3D straight duct (3D validation workload)."""
+    nu: float = 0.1
+    length: float = 2.0
+
+    def _base_mesh(self):
+        return mesh3d.channel_mesh3d(0, length=self.length)
