@@ -19,10 +19,45 @@ Prints ONE JSON line.  Env knobs: BENCH_LEVEL (default 1), BENCH_VARIANT.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _probe_tpu(timeout_s: float) -> bool:
+    """True iff the axon TPU backend initializes in a fresh process.
+
+    The axon service has been observed to go down HARD (backend init hangs
+    forever, not just erroring) — probing in-process would hang the whole
+    benchmark.  A subprocess probe with a kill-on-timeout keeps bench.py
+    guaranteed to print its JSON line on whatever backend is reachable.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax\n"
+             "assert jax.default_backend() != 'cpu'\n"
+             "import jax.numpy as jnp\n"
+             "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()\n"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if "FENAPACK_PLATFORM" not in os.environ:
+    # backend init can stall legitimately (first-connect ~30-500 s); only
+    # fall back when the service is truly unreachable
+    if not _probe_tpu(float(os.environ.get("BENCH_PROBE_S", "900"))):
+        print("bench: TPU backend unreachable -> CPU fallback",
+              file=sys.stderr, flush=True)
+        os.environ["FENAPACK_PLATFORM"] = "cpu"
+        # CPU-fallback defaults: level 1 keeps wall sane; the df32 Pallas
+        # kernel only runs in (very slow) interpret mode off-TPU
+        os.environ.setdefault("BENCH_LEVEL", "1")
+        os.environ.setdefault("BENCH_DF32", "0")
 
 import jax
 
