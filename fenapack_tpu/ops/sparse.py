@@ -155,11 +155,19 @@ class BlockELL:
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         nb, b, mb = self.tiles.shape
+        ncb = -(-self.n_cols // b) * b
+        if x.ndim == 2:
+            # multi-RHS (n_cols, k) — same interface as ELL.mv (batched
+            # einsum: MXU reduced-precision caveat applies, as for vmap)
+            k = x.shape[1]
+            xb = jnp.pad(x, ((0, ncb - self.n_cols), (0, 0)))
+            g = xb.reshape(ncb // b, b, k)[self.nbr].reshape(nb, mb, k)
+            y = jnp.einsum("bik,bkj->bij", self.tiles, g)
+            return y.reshape(-1, k)[:self.n_rows]
         if _use_pallas_bsr(nb, self.tiles.dtype):
             from .pallas_spmv import PallasBSRSpMV
             return PallasBSRSpMV(self, rows_per_step=8,
                                  variant="scratch")(x)
-        ncb = -(-self.n_cols // b) * b
         xb = jnp.pad(x, (0, ncb - self.n_cols)).reshape(ncb // b, b)
         g = xb[self.nbr].reshape(nb, mb)               # (nb, m*b) row gather
         y = jnp.einsum("bik,bk->bi", self.tiles, g)

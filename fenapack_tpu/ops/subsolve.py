@@ -63,7 +63,11 @@ def chebyshev_solver(matvec: Callable, dinv: jnp.ndarray, lmin: float,
                 p = z
                 alpha = 1.0 / d
             else:
-                beta = (0.5 * c * alpha) ** 2 if i == 1 else (0.5 * c * alpha) ** 2
+                # first-step beta is (1/2)(c*alpha_0)^2; later steps
+                # (c*alpha/2)^2 — verified against the optimal min-max bound
+                # 1/T_k(sigma) (the halved first step is NOT a typo)
+                beta = (0.5 * (c * alpha) ** 2 if i == 1
+                        else (0.5 * c * alpha) ** 2)
                 alpha = 1.0 / (d - beta / alpha)
                 p = z + beta * p
             x = x + alpha * p

@@ -80,12 +80,20 @@ class ShardedOseen:
 
         # constant operators: row-shard ELL values and column indices
         const = asm.const
-        ells = [const.L, const.Mp, const.Ap, const.M2,
-                *const.D, *const.DT]
+        # M2 is None for block-layout assemblers (assembled skip_m2=True)
+        ells = [e for e in (const.L, const.Mp, const.Ap, const.M2,
+                            *const.D, *const.DT) if e is not None]
         for ell in ells:
             if hasattr(ell, "tiles"):           # BlockELL
-                ell.tiles = put_rows(ell.tiles)
-                ell.nbr = put_rows(ell.nbr)
+                # block rows shard only when divisible by the mesh; else
+                # replicate (correct under GSPMD, loses memory scaling —
+                # row_align=n_dev*block gives divisible block rows)
+                if ell.tiles.shape[0] % n_dev == 0:
+                    ell.tiles = put_rows(ell.tiles)
+                    ell.nbr = put_rows(ell.nbr)
+                else:
+                    ell.tiles = jax.device_put(ell.tiles, repl)
+                    ell.nbr = jax.device_put(ell.nbr, repl)
             else:                               # ELL
                 ell.vals = put_rows(ell.vals)
                 ell.cols = put_rows(ell.cols)

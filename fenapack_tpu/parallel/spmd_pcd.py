@@ -452,25 +452,12 @@ class SPMDPCDSolver:
             return jnp.concatenate(ys)
 
         # iterated minimal-residual polynomial (robust on the nonsymmetric
-        # velocity block, where Chebyshev stalls — measured); all inner
-        # Gram products are small dense (4x4), shard-safe via psum'd dots
+        # velocity block, where Chebyshev stalls — measured); shared with
+        # the sharded-GMG smoother
+        from .spmd import psum_minres_smooth
+
         def _psum_minres(mv, dinv, s_iters, b, x):
-            r = b - mv(x)
-            z = dinv * r
-            Zs, Ws = [], []
-            for _ in range(s_iters):
-                w = mv(z)
-                Zs.append(z)
-                Ws.append(w)
-                z = dinv * w
-            W = jnp.stack(Ws)
-            Z = jnp.stack(Zs)
-            G = jax.lax.psum(W @ W.T, self.axis)
-            cvec = jax.lax.psum(W @ r, self.axis)
-            lam = 1e-7 * jnp.trace(G) / G.shape[0] + 1e-30
-            y = jnp.linalg.solve(
-                G + lam * jnp.eye(G.shape[0], dtype=G.dtype), cvec)
-            return x + Z.T @ y
+            return psum_minres_smooth(mv, dinv, s_iters, b, x, self.axis)
 
         rounds = max(1, self.cheb_velocity_iters // 4)
 
@@ -493,7 +480,8 @@ class SPMDPCDSolver:
             def mp_mv(x):
                 y = mp_ring.mv_local(mpv, mpc, fp * x)
                 return fp * y + p_pad * x
-            ch = subsolve.chebyshev_solver(mp_mv, mp_dinv, 0.15, 2.5, 6)
+            # Wathen bounds for the Jacobi-scaled P1 mass (tri + tet)
+            ch = subsolve.chebyshev_solver(mp_mv, mp_dinv, 0.5, 2.5, 6)
             return ch(r)
 
         if self.ap_gmg is not None:

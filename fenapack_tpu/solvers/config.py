@@ -90,10 +90,13 @@ class KrylovConfig:
 class PCDConfig:
     variant: str = "BRM2"                # BRM1 | BRM2
     ap: SubsolveConfig = SubsolveConfig(method="lu")
-    # Jacobi-scaled P1 mass spectrum is mesh-uniform: contained in
-    # [0.15, 2.5] for triangles and tets alike
+    # Jacobi-scaled P1 mass spectrum is mesh-uniform (Wathen's bounds):
+    # [1/2, 2] on triangles, [1/2, 5/2] on tets — measured exactly [0.5, 2]
+    # on our 2D meshes.  (0.5, 2.5) covers both; tighter than the old
+    # (0.15, 2.5), whose wasted interval made Chebyshev-6 ~16x less
+    # accurate and cost outer iterations (cavity parity test).
     mp: SubsolveConfig = SubsolveConfig(method="chebyshev", iters=6,
-                                        bounds=(0.15, 2.5))
+                                        bounds=(0.5, 2.5))
 
 
 @dataclasses.dataclass(frozen=True)

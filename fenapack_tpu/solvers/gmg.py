@@ -262,6 +262,7 @@ class PressureHierarchy:
         self.transfers = []
         self.fine_n1 = fine_n1
         self.reorder = reorder
+        self.pcd_markers = tuple(pcd_markers)
         if fine_asm is not None:
             # reuse the solver's assembler at the (dominant) fine level —
             # a fresh full NSAssembler there re-derives every P2/div
@@ -288,12 +289,16 @@ class PressureHierarchy:
                 asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2,
                                   block_size=block_size, reorder=reorder)
             Ap = asm.const.Ap.with_vals(asm.const.Ap.vals.astype(dtype))
-            if pcd_markers:
-                dofs = asm.W.Q.facet_dofs(list(pcd_markers))
+            dofs = (asm.W.Q.facet_dofs(list(pcd_markers)) if pcd_markers
+                    else np.empty(0, dtype=int))
+            if dofs.size:
                 m = np.zeros(asm.n1)
                 m[dofs] = 1.0
                 mask = jnp.asarray(m, dtype=dtype)
             else:
+                # markers absent on this mesh == pure Neumann (an all-zero
+                # mask would send a SINGULAR operator to the masked dense
+                # coarse solve)
                 mask = None
             self.levels.append((asm, Ap, mask))
             q_ranks.append(np.asarray(asm.W.Q.rank) if reorder else None)
@@ -308,8 +313,11 @@ def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
                     dtype, bc_mask: Optional[jnp.ndarray] = None) -> Callable:
     """Ap^{-1} approximation via V-cycles on the pressure hierarchy.
 
-    ``bc_mask`` is the *fine-level* pinned mask (pcd BCs + alignment
-    padding); fine vectors may be longer than the hierarchy's fine space
+    The Dirichlet (pcd BC) rows come from the hierarchy's own
+    ``pcd_markers`` — per level, not just the fine grid.  ``bc_mask`` (the
+    caller's fine-level pinned mask) is accepted for interface symmetry but
+    NOT consulted; OseenSolver validates marker consistency at setup
+    instead.  Fine vectors may be longer than the hierarchy's fine space
     (alignment padding) — padded entries pass through as identity.
     """
     matvecs, dinvs, masks = [], [], []

@@ -297,8 +297,10 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
     # pad history tail with the final residual for clean semantics
     idx = jnp.minimum(jnp.arange(m + 1), k)
     hist = hist[idx]
-    return FGMRESResult(x=x, iters=k, resnorms=hist, converged=done,
-                        bnorm=bnorm), rec_new
+    # converged reports the TOLERANCE being met — a breakdown stop (or the
+    # maxiter cap) must not masquerade as convergence
+    return FGMRESResult(x=x, iters=k, resnorms=hist,
+                        converged=hist[m] <= tol, bnorm=bnorm), rec_new
 
 
 def fgmres_ds(matvec, pc, b, *, maxiter: int = 100, rtol: float = 1e-8,
@@ -407,8 +409,9 @@ def fgmres_ds(matvec, pc, b, *, maxiter: int = 100, rtol: float = 1e-8,
 
     idx = jnp.minimum(jnp.arange(m + 1), k)
     hist = hist[idx]
-    return FGMRESResult(x=x, iters=k, resnorms=hist, converged=done,
-                        bnorm=bnorm)
+    # as in fgmres: converged == tolerance met, not breakdown/maxiter stop
+    return FGMRESResult(x=x, iters=k, resnorms=hist,
+                        converged=hist[m] <= tol, bnorm=bnorm)
 
 
 def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m,

@@ -91,6 +91,7 @@ class OseenSolver:
         mask_p = np.zeros(n1)
         mask_p[pcd_dofs] = 1.0
         self.has_pcd_bcs = pcd_dofs.shape[0] > 0
+        self.pcd_marker = pcd_marker
         self.pcd_mask = jnp.asarray(mask_p, dtype=dt) if self.has_pcd_bcs else None
         # padded pressure dofs are pinned inside every pressure subsolve
         p_pad = (1.0 - asm._p_active_np if hasattr(asm, '_p_active_np')
@@ -198,6 +199,19 @@ class OseenSolver:
                     f"hierarchy reorder={getattr(hierarchy, 'reorder', 0)}"
                     " — build both with the same flag (the per-level RCM"
                     " orderings are deterministic and coincide)")
+            # the V-cycle's Dirichlet rows come from the hierarchy's own
+            # pcd_markers, not from ``mask`` — a silent mismatch would make
+            # the Ap subsolve approximate the wrong (e.g. singular Neumann)
+            # operator, so validate markers against the solver's at setup
+            hmarks = getattr(hierarchy, "pcd_markers", None)
+            if hmarks is not None:
+                want = {self.pcd_marker} if self.has_pcd_bcs else set()
+                if set(hmarks) != want:
+                    raise ValueError(
+                        f"pressure GMG pcd-marker mismatch: hierarchy built"
+                        f" with pcd_markers={tuple(hmarks)} but the solver's"
+                        f" PCD Dirichlet rows are {sorted(want)} — rebuild"
+                        " the PressureHierarchy with matching markers")
             from .gmg import make_gmg_solver
             solve = make_gmg_solver(hierarchy, cfg, self.dtype, bc_mask=mask)
             return lambda: solve
@@ -504,13 +518,17 @@ class OseenSolver:
         """
         from ..runtime import lift_jit
 
-        def batched(w_, B_):
-            def one(b):
-                r = self._solve_impl(w_, b)
-                return r.x, r.iters, r.converged
-            return jax.vmap(one)(B_)
+        # cache the lifted jit wrapper: a fresh wrapper per call would
+        # retrace (and re-compile) the whole vmapped FGMRES program
+        fn = getattr(self, "_solve_batch_jit", None)
+        if fn is None:
+            def batched(w_, B_):
+                def one(b):
+                    r = self._solve_impl(w_, b)
+                    return r.x, r.iters, r.converged
+                return jax.vmap(one)(B_)
 
-        fn = lift_jit(batched, self._lift_roots)
+            fn = self._solve_batch_jit = lift_jit(batched, self._lift_roots)
         return fn(wind.astype(self.dtype), B.astype(self.dtype))
 
     # -------------------------------------------------------------- #

@@ -83,10 +83,19 @@ class UnsteadySolver:
             du = (u - u_old).astype(dtc)
             mass = jnp.concatenate(
                 [M2.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) * idt
-            ru_new, rp = asm.residual(u, p)          # C(u)u + B^T p ; B u
-            ru_old, _ = asm.residual(u_old, jnp.zeros_like(p))
-            ru = (mass + th * ru_new.astype(dtc)
-                  + (1.0 - th) * ru_old.astype(dtc))
+            # pressure is fully implicit and UNSCALED (matching the
+            # Jacobian's B^T block and the PCD Fp term): only the
+            # convection-diffusion part is theta-weighted.  Folding p into
+            # the theta-weighted residual would converge to p/theta.
+            pz = jnp.zeros_like(p)
+            conv_new, rp = asm.residual(u, pz)       # C(u)u ; B u
+            conv_old, _ = asm.residual(u_old, pz)
+            ch = asm.const_hi
+            p_hi = p.astype(ch.DT[0].vals.dtype)
+            grad_p = jnp.concatenate([ch.DT[a].mv(p_hi) for a in range(d)])
+            ru = (mass + th * conv_new.astype(dtc)
+                  + (1.0 - th) * conv_old.astype(dtc)
+                  + grad_p.astype(dtc))
             ru = free_u * ru
             rp = rp.astype(dtc)
             if encl:

@@ -26,31 +26,42 @@ def load_checkpoint(path: str) -> Tuple[np.ndarray, float, dict]:
 
 
 def save_vtk(path: str, asm, w) -> None:
-    """Write velocity (P1 part) + pressure on the mesh as legacy VTK."""
+    """Write velocity (P1 part) + pressure on the mesh as legacy VTK.
+
+    Handles both 2D (triangles, VTK cell type 5) and 3D (tets, type 10)
+    assemblers; 2D fields get a zero z-component.
+    """
     mesh = asm.mesh
+    d = asm.dim
     w = np.asarray(w)
     nv = mesh.num_vertices
     vdofs = asm.W.V.vertex_dofs()       # reorder-aware vertex dof ids
     qdofs = asm.W.Q.vertex_dofs()
-    ux = w[:asm.n2][vdofs]
-    uy = w[asm.n2:2 * asm.n2][vdofs]
-    p = w[asm.dim * asm.n2:][qdofs]
+    n2 = asm.n2
+    u = [w[a * n2:(a + 1) * n2][vdofs] for a in range(d)]
+    if d == 2:
+        u.append(np.zeros(nv))
+    p = w[d * n2:][qdofs]
+    npts = d + 1                        # vertices per simplex cell
+    cell_type = 5 if d == 2 else 10     # VTK_TRIANGLE / VTK_TETRA
     with open(path, "w") as f:
         f.write("# vtk DataFile Version 3.0\nfenapack_tpu\nASCII\n")
         f.write("DATASET UNSTRUCTURED_GRID\n")
         f.write(f"POINTS {nv} float\n")
         for v in mesh.vertices:
-            f.write(f"{v[0]} {v[1]} 0.0\n")
+            z = v[2] if d == 3 else 0.0
+            f.write(f"{v[0]} {v[1]} {z}\n")
         nc = mesh.num_cells
-        f.write(f"CELLS {nc} {4 * nc}\n")
+        f.write(f"CELLS {nc} {(npts + 1) * nc}\n")
         for c in mesh.cells:
-            f.write(f"3 {c[0]} {c[1]} {c[2]}\n")
+            f.write(f"{npts} " + " ".join(str(int(ci)) for ci in c[:npts])
+                    + "\n")
         f.write(f"CELL_TYPES {nc}\n")
-        f.write("5\n" * nc)
+        f.write(f"{cell_type}\n" * nc)
         f.write(f"POINT_DATA {nv}\n")
         f.write("VECTORS velocity float\n")
-        for a, b in zip(ux, uy):
-            f.write(f"{a} {b} 0.0\n")
+        for a, b, c in zip(u[0], u[1], u[2]):
+            f.write(f"{a} {b} {c}\n")
         f.write("SCALARS pressure float 1\nLOOKUP_TABLE default\n")
         for q in p:
             f.write(f"{q}\n")

@@ -37,7 +37,16 @@ if grep -qi "converged" "$LOG/step3d_761k.log"; then
     note "stage 4: 2M config-4 (length=9)"
     timeout 14400 python demos/demo_step3d.py -l 3 --length 9.0 \
         --dtype float32 --maxiter 120 > "$LOG/step3d_2m.log" 2>&1
-    note "2M exit=$? $(tail -2 "$LOG/step3d_2m.log" | tr '\n' ' ')"
+    rc=$?
+    note "2M exit=$rc $(tail -2 "$LOG/step3d_2m.log" | tr '\n' ' ')"
+    if [ $rc -ne 0 ]; then
+        # HBM-fill fallback: b=8 tiles (block-32 P2 fill is ~6.9 GB at 2M)
+        note "stage 4 retry: b=8 tiles"
+        timeout 14400 python demos/demo_step3d.py -l 3 --length 9.0 \
+            --dtype float32 --maxiter 120 --block 8 \
+            > "$LOG/step3d_2m_b8.log" 2>&1
+        note "2M b8 exit=$? $(tail -2 "$LOG/step3d_2m_b8.log" | tr '\n' ' ')"
+    fi
 else
     note "stage 4 skipped (761k did not converge)"
 fi

@@ -102,3 +102,21 @@ def test_small_block_sizes_match_ell_3d():
         p = pattern_from_dofmaps(cd2, cd2, W.n2, W.n2, block=b)
         Ab = p.assemble(jnp.asarray(vals))
         assert float(jnp.max(jnp.abs(Ab.mv(x) - y_ref))) < 1e-12
+
+
+def test_block_mv_multi_rhs_matches_ell():
+    """BlockELL.mv supports the documented (n_cols, k) multi-RHS interface
+    of ELL.mv (used by vmapped/batched callers)."""
+    import jax.numpy as jnp
+    from fenapack_tpu.fem import mesh as meshmod
+    from fenapack_tpu.fem.assemble import NSAssembler
+
+    asm_e = NSAssembler(meshmod.backward_step_mesh(0), 0.02)
+    asm_b = NSAssembler(meshmod.backward_step_mesh(0), 0.02, block_size=32,
+                        reorder=False)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((asm_e.n1, 3))
+    y_e = np.asarray(asm_e.const.Ap.mv(jnp.asarray(X)))
+    y_b = np.asarray(asm_b.const.Ap.mv(jnp.asarray(X)))
+    assert y_e.shape == y_b.shape == (asm_e.n1, 3)
+    assert np.allclose(y_e, y_b, atol=1e-8)

@@ -51,3 +51,9 @@ def test_demo_spmd():
                  timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "[ring]" in r.stdout
+
+
+def test_demo_custom_forms():
+    r = run_demo(["demo_custom_forms.py", "-l", "0", "--rtol", "1e-3"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "converged: True" in r.stdout

@@ -137,3 +137,23 @@ def test_sharded_supg_high_re_step():
     assert err < 1e-6, err
     assert abs(int(iters) - int(res.iters)) <= 3
     assert int(iters) < 400     # SUPG keeps high-Re solvable when sharded
+
+
+@needs_8
+def test_sharded_block_layout_constructs_and_steps():
+    """ShardedOseen must accept block-sparse assemblers (const.M2 is None
+    there, and block-row counts need not divide the device mesh — such
+    operators are replicated instead of row-sharded)."""
+    mesh = meshmod.backward_step_mesh(0)
+    asm = NSAssembler(mesh, 0.02, row_align=8, block_size=32, reorder=False,
+                      block_dtype=jnp.float32)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "dtype": "float32"})
+    nl = NonlinearSolver(asm, bcs, cfg)
+    sharded = ShardedOseen(nl, make_device_mesh(8))
+    w1, iters, _ = sharded.step(nl.initial_state())
+    assert np.all(np.isfinite(np.asarray(w1)))
+    assert 0 < int(iters) <= 100

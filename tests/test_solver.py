@@ -174,3 +174,39 @@ def test_re_mild_growth():
     # Re grows 10x across the sweep; counts must grow far slower
     assert counts[-1] < 3.0 * counts[0], counts
     assert counts[-1] < 100, counts
+
+
+def test_fgmres_converged_flag_honest():
+    """converged reports the tolerance being MET — a maxiter (or breakdown)
+    stop must not masquerade as convergence."""
+    rng = np.random.default_rng(5)
+    n = 120
+    A = np.diag(np.linspace(0.01, 1.0, n)) + 0.01 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    res = fgmres(lambda x: Aj @ x, lambda r: r, jnp.asarray(b),
+                 maxiter=3, rtol=1e-12)
+    assert not bool(res.converged)
+    full = fgmres(lambda x: Aj @ x, lambda r: r, jnp.asarray(b),
+                  maxiter=n, rtol=1e-10)
+    assert bool(full.converged)
+
+
+def test_chebyshev_is_minmax_optimal():
+    """The fixed-iteration Chebyshev subsolve must achieve the optimal
+    min-max residual bound 1/T_k(sigma) on a diagonal SPD operator —
+    catches recurrence-coefficient regressions (the first-step beta is
+    (1/2)(c*alpha)^2, NOT (c*alpha/2)^2)."""
+    from fenapack_tpu.ops.subsolve import chebyshev_solver
+
+    lmin, lmax = 0.15, 2.5
+    lam = np.linspace(lmin, lmax, 4001)
+    lamj = jnp.asarray(lam)
+    dinv = jnp.ones_like(lamj)
+    sigma = (lmax + lmin) / (lmax - lmin)
+    for k in (3, 6):
+        solve = chebyshev_solver(lambda v: lamj * v, dinv, lmin, lmax, k)
+        x = np.asarray(solve(jnp.ones_like(lamj)))
+        resmax = np.max(np.abs(1.0 - lam * x))
+        bound = 1.0 / np.cosh(k * np.arccosh(sigma))
+        assert resmax <= bound * 1.02, (k, resmax, bound)

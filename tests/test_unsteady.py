@@ -103,3 +103,22 @@ def test_obstacle_channel_unsteady():
     coords = asm.W.V.dof_coords()
     wake = (coords[:, 0] > 2.0) & (coords[:, 0] < 3.0)
     assert np.abs(w[:n2][:asm.n2_real][wake[:asm.n2_real]]).max() > 0.3
+
+
+def test_cn_pressure_is_physical():
+    """Crank-Nicolson must converge to the PHYSICAL pressure: Poiseuille
+    with u_max=1 in a unit-height channel has dp/dx = -8 nu.  (Folding the
+    pressure gradient into the theta-weighted residual converges to
+    p/theta — 2x at theta=0.5.)"""
+    nu, L = 0.1, 2.0
+    solver = build(dt=0.25, theta=0.5, nu=nu)
+    res = solver.solve(t_end=4.0, picard_iters=2)
+    w = np.asarray(res.w)
+    asm = solver.asm
+    pc = asm.W.Q.dof_coords()
+    p = w[asm.dim * asm.n2:][:asm.n1_real]
+    x = pc[:asm.n1_real, 0]
+    # expected linear profile 8*nu*(L - x) (natural outflow pins p~0 there)
+    pex = 8 * nu * (L - x)
+    err = np.max(np.abs(p - pex))
+    assert err < 0.05 * 8 * nu * L, (err, p.max(), pex.max())
