@@ -474,14 +474,21 @@ class SPMDPCDSolver:
                     x = _psum_minres(vel_mv, a1_dinv, 4, b, x)
                 return x
 
+        # honor pcd.mp.* overrides (bounds/iters) like the sequential path;
+        # the SPMD Mp subsolve is always the Chebyshev polynomial (other
+        # methods have no ring-local formulation here)
+        mp_cfg = self.oseen.config.pcd.mp
+        mp_lmin, mp_lmax = mp_cfg.bounds or (0.5, 2.5)  # Wathen tri+tet
+        mp_iters = mp_cfg.iters
+
         def mp_solve(r):
             fp = 1.0 - p_pad
 
             def mp_mv(x):
                 y = mp_ring.mv_local(mpv, mpc, fp * x)
                 return fp * y + p_pad * x
-            # Wathen bounds for the Jacobi-scaled P1 mass (tri + tet)
-            ch = subsolve.chebyshev_solver(mp_mv, mp_dinv, 0.5, 2.5, 6)
+            ch = subsolve.chebyshev_solver(mp_mv, mp_dinv, mp_lmin, mp_lmax,
+                                           mp_iters)
             return ch(r)
 
         if self.ap_gmg is not None:

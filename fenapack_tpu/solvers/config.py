@@ -95,7 +95,11 @@ class PCDConfig:
     # on our 2D meshes.  (0.5, 2.5) covers both; tighter than the old
     # (0.15, 2.5), whose wasted interval made Chebyshev-6 ~16x less
     # accurate and cost outer iterations (cavity parity test).
-    mp: SubsolveConfig = SubsolveConfig(method="chebyshev", iters=6,
+    # 4 iterations at the tight bounds (min-max residual 4.3e-2) already
+    # reproduce-or-beat oracle outer counts (measured: step2d l0 BRM1
+    # 406@4 vs 411@6, BRM2 304@4 == oracle, l1 301@4 vs 302@6) — and save
+    # two Mp SpMVs per PCD apply
+    mp: SubsolveConfig = SubsolveConfig(method="chebyshev", iters=4,
                                         bounds=(0.5, 2.5))
 
 
