@@ -1,7 +1,15 @@
 #!/usr/bin/env python
 """Sweep solver configs for the headline bench in ONE process (the first
 device->host fetch pays a 30-500s tunnel warmup; per-process sweeps would
-pay it per point)."""
+pay it per point).
+
+Sweeps the CURRENT production path — hi_krylov + fully-fused Picard solve
+(one device program per solve) — over the knobs that still matter:
+ds-basis outer algebra, Krylov cap, Mp/velocity subsolve strength, and the
+legacy 2-round f32-IR mode for comparison.
+
+    SWEEP_LEVEL=2 python scripts/sweep_bench.py
+"""
 import json
 import os
 import sys
@@ -9,35 +17,59 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench
+import bench  # noqa: E402  (performs its own TPU probe / jax setup)
+
+LEVEL = int(os.environ.get("SWEEP_LEVEL", "2"))
+ORACLE = {1: 287, 2: 271}.get(LEVEL)
 
 
-def run(tag, over_str, recycle="16"):
+def run(tag, over_str, hik="1", df32="1", recycle="0"):
     os.environ["BENCH_OVER"] = over_str
+    os.environ["BENCH_HIK"] = hik
+    os.environ["BENCH_DF32"] = df32
     os.environ["BENCH_RECYCLE"] = recycle
-    nl = bench.build(2, "BRM2", ls="iterative", block_size=32)
-    _, _, _, step = bench.picard_ir(nl, max_steps=2)   # warmup/compile
-    t0 = time.perf_counter()
-    w, iters, res, _ = bench.picard_ir(nl, step=step)
-    wall = time.perf_counter() - t0
-    total = sum(iters)
-    print(json.dumps({"tag": tag, "over": over_str, "recycle": recycle,
-                      "wall_s": round(wall, 3), "total_iters": total,
-                      "vs_baseline": round(271 / max(total, 1), 4),
-                      "iters": iters}), flush=True)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
+    nl = bench.build(LEVEL, "BRM2", ls="iterative", block_size=32)
+    if nl.oseen.config.krylov.recycle == 0:
+        full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
+        w0 = nl.initial_state().astype(jnp.float64)
+        jax.block_until_ready(full(w0))          # warmup/compile
+        t0 = time.perf_counter()
+        w, k, iters_a, _ = full(w0)
+        jax.block_until_ready((w, k, iters_a))
+        wall = time.perf_counter() - t0
+        iters = [int(i) for i in np.asarray(iters_a)[:int(k)]]
+    else:
+        _, _, _, step = bench.picard_ir(nl, max_steps=2)  # warmup/compile
+        t0 = time.perf_counter()
+        _, iters, _, _ = bench.picard_ir(nl, step=step)
+        wall = time.perf_counter() - t0
+    total = sum(iters)
+    print(json.dumps({
+        "tag": tag, "over": over_str, "hik": hik, "df32": df32,
+        "recycle": recycle, "wall_s": round(wall, 3), "total_iters": total,
+        "vs_baseline": round(ORACLE / max(total, 1), 4) if ORACLE else None,
+        "iters": iters}), flush=True)
+
+
+POINTS = [
+    ("baseline", "", {}),
+    ("ds_basis", "krylov.ds_basis=true", {}),
+    ("mp3", "pcd.mp.iters=3", {}),
+    ("cap40", "krylov.maxiter=40", {}),
+    ("cap56", "krylov.maxiter=56", {}),
+    ("vsmooth2", "velocity.smooth_iters=2", {}),
+    ("apcyc2", "pcd.ap.cycles=2", {}),
+    ("f32ir_rec16", "", {"hik": "0", "recycle": "16"}),
+]
 
 if __name__ == "__main__":
-    for tag, over, rec in [
-        ("baseline", "", "16"),
-        ("vcyc3", "velocity.cycles=3", "16"),
-        ("vsmooth4", "velocity.smooth_iters=4", "16"),
-        ("apcyc2", "pcd.ap.cycles=2", "16"),
-        ("rec24", "", "24"),
-        ("rec32", "", "32"),
-        ("vcyc3+rec24", "velocity.cycles=3", "24"),
-    ]:
+    for tag, over, kw in POINTS:
         try:
-            run(tag, over, rec)
+            run(tag, over, **kw)
         except Exception as e:
-            print(json.dumps({"tag": tag, "error": str(e)}), flush=True)
+            print(json.dumps({"tag": tag, "error": repr(e)[:300]}),
+                  flush=True)

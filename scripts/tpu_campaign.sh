@@ -50,4 +50,8 @@ if grep -qi "converged" "$LOG/step3d_761k.log"; then
 else
     note "stage 4 skipped (761k did not converge)"
 fi
+note "stage 5: config sweep (one process, level 2)"
+timeout 10800 python scripts/sweep_bench.py > "$LOG/sweep.jsonl" 2> "$LOG/sweep.err"
+note "sweep exit=$? $(wc -l < "$LOG/sweep.jsonl") points"
+
 note "campaign done"
