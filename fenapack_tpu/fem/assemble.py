@@ -755,6 +755,8 @@ class NSAssembler:
         ``ru_a = A1(u) u_a + DT_a p``, ``rp = sum_a D_a u_a``
         (BC masking applied by caller).  ``hi`` selects the high-precision
         ELL operators (the residual drives nonlinear/IR convergence).
+        ``p=None`` skips the pressure-gradient term (convection-diffusion
+        part only — the theta-weighted pieces of the unsteady residual).
 
         ``supg=True`` evaluates the SUPG-STABILIZED residual: the momentum
         rows gain ``delta (u.grad v)(u.grad u)`` — the system-operator
@@ -768,7 +770,15 @@ class NSAssembler:
         A1 = self._pats(hi)[0].matrix(A1vals)
         comps = self.split_u(u)
         c = self.const_hi if hi else self.const
-        ru = jnp.concatenate([A1.mv(comps[a]) + c.DT[a].mv(p)
-                              for a in range(self.dim)])
+        ru = jnp.concatenate([A1.mv(comps[a]) for a in range(self.dim)])
+        if p is not None:
+            ru = ru + self.grad_p(p, hi=hi)
         rp = sum(c.D[a].mv(comps[a]) for a in range(self.dim))
         return ru, rp
+
+    def grad_p(self, p: jnp.ndarray, hi: bool = True) -> jnp.ndarray:
+        """Pressure-gradient apply ``B^T p`` stacked over components (the
+        single home of the concat-DT idiom; theta-scheme residuals apply it
+        UNSCALED, matching the Jacobian block)."""
+        c = self.const_hi if hi else self.const
+        return jnp.concatenate([c.DT[a].mv(p) for a in range(self.dim)])

@@ -696,10 +696,11 @@ class SPMDUnsteadySolver:
         us, sp = self.us, self.sp
         n_u = us.n_u
         u_old = w[:n_u]
+        conv_old = us._conv_part(u_old)      # constant across Picard iters
         total = 0
         rn = None
         for _ in range(max(picard_iters, 1)):
-            F = np.asarray(us._residual(w, u_old))
+            F = np.asarray(us._residual_full(w, u_old, conv_old))
             rn = float(np.linalg.norm(F))
             if rn <= rtol:
                 break

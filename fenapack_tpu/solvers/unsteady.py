@@ -73,9 +73,20 @@ class UnsteadySolver:
         n_p_real = float(asm.n1_real)
 
         d = asm.dim
+        ssupg = config.system_supg
+        hi_dt = asm.const_hi.DT[0].vals.dtype
 
-        def residual(w, u_old):
-            """theta-scheme residual at state w given previous velocity."""
+        def conv_part(u):
+            """theta-weighted piece for one velocity state: the (SUPG-
+            stabilized, matching the Jacobian) convection-diffusion
+            residual, WITHOUT the pressure gradient."""
+            ru, _ = asm.residual(u, None, supg=ssupg)
+            return ru.astype(dtc)
+
+        def residual(w, u_old, conv_old):
+            """theta-scheme residual at state w; ``conv_old`` is
+            ``conv_part(u_old)`` — constant across the Picard iterations of
+            a time step, so callers compute it once per step."""
             u, p = w[:n_u], w[n_u:]
             # mass matrix from the hi set (always present; ELL in block mode)
             M2h = asm.const_hi.M2
@@ -87,15 +98,9 @@ class UnsteadySolver:
             # Jacobian's B^T block and the PCD Fp term): only the
             # convection-diffusion part is theta-weighted.  Folding p into
             # the theta-weighted residual would converge to p/theta.
-            pz = jnp.zeros_like(p)
-            conv_new, rp = asm.residual(u, pz)       # C(u)u ; B u
-            conv_old, _ = asm.residual(u_old, pz)
-            ch = asm.const_hi
-            p_hi = p.astype(ch.DT[0].vals.dtype)
-            grad_p = jnp.concatenate([ch.DT[a].mv(p_hi) for a in range(d)])
-            ru = (mass + th * conv_new.astype(dtc)
-                  + (1.0 - th) * conv_old.astype(dtc)
-                  + grad_p.astype(dtc))
+            conv_new, rp = asm.residual(u, None, supg=ssupg)
+            ru = (mass + th * conv_new.astype(dtc) + (1.0 - th) * conv_old
+                  + asm.grad_p(p.astype(hi_dt)).astype(dtc))
             ru = free_u * ru
             rp = rp.astype(dtc)
             if encl:
@@ -103,7 +108,12 @@ class UnsteadySolver:
             return jnp.concatenate([ru, rp])
 
         from ..runtime import lift_jit
-        self._residual = lift_jit(residual, self.oseen._lift_roots)
+        self._conv_part = lift_jit(conv_part, self.oseen._lift_roots)
+        self._residual_full = lift_jit(residual, self.oseen._lift_roots)
+
+    def _residual(self, w, u_old):
+        """Convenience (SPMD driver + tests): recomputes conv_part(u_old)."""
+        return self._residual_full(w, u_old, self._conv_part(u_old))
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.oseen.n, dtype=self.oseen.dtype)
@@ -113,10 +123,11 @@ class UnsteadySolver:
              rtol: float = 1e-6):
         """Advance one time step; returns (w_new, total_linear_iters, res)."""
         u_old = w[:self.n_u]
+        conv_old = self._conv_part(u_old)    # constant across Picard iters
         total = 0
         rn = None
         for _ in range(max(picard_iters, 1)):
-            F = self._residual(w, u_old)
+            F = self._residual_full(w, u_old, conv_old)
             rn = float(jnp.linalg.norm(F))
             if rn <= rtol:
                 break

@@ -80,3 +80,44 @@ def test_minres_smoother_matches_jacobi_at_low_re():
     ra = a.solve(rtol=1e-4, max_steps=3)
     rb = b.solve(rtol=1e-4, max_steps=3)
     assert sum(rb.linear_iters) <= int(1.3 * sum(ra.linear_iters))
+
+
+def test_unsteady_residual_includes_supg():
+    """The theta-scheme residual must evaluate the SAME (SUPG-stabilized)
+    momentum residual as the steady driver when system_supg is on: at
+    u_old == u and 1/dt -> 0 the unsteady residual reduces exactly to the
+    steady one.  (Regression: the unsteady closure used to drop the SUPG
+    term while the Jacobian kept it.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from fenapack_tpu.fem import mesh as meshmod
+    from fenapack_tpu.fem.assemble import NSAssembler
+    from fenapack_tpu.fem.dofmap import DirichletBC
+    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+    from fenapack_tpu.solvers.unsteady import UnsteadySolver
+
+    mesh = meshmod.channel_mesh(0, length=2.0)
+    asm = NSAssembler(mesh, 5e-4)            # high cell-Peclet: SUPG matters
+
+    def inflow(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+    cfg = overrides(SolverConfig(), {"system_supg": True})
+    steady = NonlinearSolver(asm, bcs, cfg)
+    unsteady = UnsteadySolver(asm, bcs, cfg, dt=1e12, theta=1.0)
+
+    rng = np.random.default_rng(1)
+    w = np.array(steady.initial_state())
+    w[:steady.n_u] += 0.01 * rng.standard_normal(steady.n_u) * \
+        np.asarray(steady.oseen.free_u)
+    w = jnp.asarray(w)
+    F_steady = np.asarray(steady._residual(w))
+    F_unsteady = np.asarray(unsteady._residual(w, w[:steady.n_u]))
+    assert np.allclose(F_steady, F_unsteady, atol=1e-9), \
+        np.abs(F_steady - F_unsteady).max()
