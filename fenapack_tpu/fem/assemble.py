@@ -748,7 +748,7 @@ class NSAssembler:
         conv = self.convection_values(u, hi=hi, compute32=compute32)
         return self.nu * L.vals.astype(conv.dtype) + conv
 
-    def residual(self, u: jnp.ndarray, p: jnp.ndarray,
+    def residual(self, u: jnp.ndarray, p: Optional[jnp.ndarray],
                  hi: bool = True, supg: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Steady NS residual F(w) with zero body force, natural outflow:
@@ -777,8 +777,9 @@ class NSAssembler:
         return ru, rp
 
     def grad_p(self, p: jnp.ndarray, hi: bool = True) -> jnp.ndarray:
-        """Pressure-gradient apply ``B^T p`` stacked over components (the
-        single home of the concat-DT idiom; theta-scheme residuals apply it
-        UNSCALED, matching the Jacobian block)."""
+        """Pressure-gradient apply ``B^T p`` stacked over components
+        (theta-scheme residuals apply it UNSCALED, matching the Jacobian
+        block; the compute-precision pipeline has its own copies in
+        OseenSolver._matvec_factory/_bt_mv)."""
         c = self.const_hi if hi else self.const
         return jnp.concatenate([c.DT[a].mv(p) for a in range(self.dim)])

@@ -157,8 +157,9 @@ class BlockELL:
         nb, b, mb = self.tiles.shape
         ncb = -(-self.n_cols // b) * b
         if x.ndim == 2:
-            # multi-RHS (n_cols, k) — same interface as ELL.mv (batched
-            # einsum: MXU reduced-precision caveat applies, as for vmap)
+            # multi-RHS (n_cols, k) — same interface as ELL.mv.  Always the
+            # batched einsum (better MXU utilization than k streaming
+            # Pallas calls; reduced-precision caveat applies, as for vmap)
             k = x.shape[1]
             xb = jnp.pad(x, ((0, ncb - self.n_cols), (0, 0)))
             g = xb.reshape(ncb // b, b, k)[self.nbr].reshape(nb, mb, k)
