@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--t-end", type=float, default=2.0)
     ap.add_argument("--theta", type=float, default=1.0,
                     help="1 = implicit Euler, 0.5 = Crank-Nicolson")
+    ap.add_argument("--scheme", choices=["theta", "bdf2"], default="theta",
+                    help="bdf2 = A-stable 2nd-order BDF (implicit-Euler "
+                         "startup step)")
     ap.add_argument("--pcd", choices=["BRM1", "BRM2"], default="BRM2")
     ap.add_argument("--picard-iters", type=int, default=2)
     ap.add_argument("--dtype", default=None)
@@ -62,7 +65,8 @@ def main():
                                 lambda x: np.zeros((x.shape[0], 2))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
     cfg = overrides(SolverConfig(), {"pcd.variant": args.pcd, "dtype": dtype})
-    solver = UnsteadySolver(asm, bcs, cfg, dt=args.dt, theta=args.theta)
+    solver = UnsteadySolver(asm, bcs, cfg, dt=args.dt,
+                            theta=args.theta, scheme=args.scheme)
 
     w0, t0 = None, 0.0
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -71,7 +75,7 @@ def main():
         print(f"resumed from {args.checkpoint} at t={t0}")
 
     print(f"unsteady channel l={args.level} nu={args.nu} dt={args.dt} "
-          f"theta={args.theta}  dofs {2 * asm.n2_real + asm.n1_real}")
+          f"scheme={args.scheme} theta={args.theta}  dofs {2 * asm.n2_real + asm.n1_real}")
 
     def cb(k, t, w):
         if args.vtk_every and (k + 1) % args.vtk_every == 0:

@@ -692,15 +692,16 @@ class SPMDUnsteadySolver:
                                     cheb_velocity_iters=cheb_velocity_iters,
                                     maxiter=maxiter, rtol=rtol_lin)
 
-    def step(self, w, *, picard_iters: int = 1, rtol: float = 1e-6):
+    def step(self, w, *, picard_iters: int = 1, rtol: float = 1e-6,
+             u_prev=None):
         us, sp = self.us, self.sp
         n_u = us.n_u
         u_old = w[:n_u]
-        conv_old = us._conv_part(u_old)      # constant across Picard iters
+        aux = us._step_aux(u_old, u_prev)    # constant across Picard iters
         total = 0
         rn = None
         for _ in range(max(picard_iters, 1)):
-            F = np.asarray(us._residual_full(w, u_old, conv_old))
+            F = np.asarray(us._residual_full(w, u_old, aux))
             rn = float(np.linalg.norm(F))
             if rn <= rtol:
                 break
@@ -723,8 +724,12 @@ class SPMDUnsteadySolver:
         times, iters, resid = [], [], []
         hist = [] if keep_history else None
         n_steps = int(round(t_end / us.dt))
+        u_prev = None
         for k in range(n_steps):
-            w, it, rn = self.step(w, picard_iters=picard_iters)
+            u_old = w[:us.n_u]
+            w, it, rn = self.step(w, picard_iters=picard_iters,
+                                  u_prev=u_prev)
+            u_prev = u_old                   # BDF2 history (ignored: theta)
             t += us.dt
             times.append(t)
             iters.append(it)

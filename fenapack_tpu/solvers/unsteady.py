@@ -13,6 +13,15 @@ The per-step nonlinear problem (theta in (0, 1]; 1 = implicit Euler,
     B u = 0
 with  C(w) = nu L + N(w).
 
+``scheme="bdf2"`` (beyond the reference, which has only the theta scheme)
+selects the A-stable second-order backward differentiation formula
+
+    M (3u - 4 u_old + u_prev)/(2 dt) + C(u) u + B^T p = 0
+
+with an implicit-Euler startup step expressed as ``u_prev := u_old`` — the
+same compiled program and the same effective operator ``1.5/dt M + A1``
+serve every step including the first.
+
 ``linearize_per_step`` Picard iterations are taken each step (1 = the
 standard semi-implicit scheme: wind frozen at u_old, a single Oseen solve
 per step — what the reference demo does with its "picard" setting).
@@ -49,20 +58,28 @@ class UnsteadySolver:
 
     def __init__(self, asm: NSAssembler, bcs: Sequence[DirichletBC],
                  config: SolverConfig = SolverConfig(), *,
-                 dt: float, theta: float = 1.0,
+                 dt: float, theta: float = 1.0, scheme: str = "theta",
                  linearization: str = "picard",
                  enclosed: bool = False, pcd_marker: Optional[int] = None,
                  ap_hierarchy=None, velocity_hierarchy=None):
+        if scheme not in ("theta", "bdf2"):
+            raise ValueError(f"unknown time scheme {scheme!r}")
         self.asm = asm
         self.dt = float(dt)
         self.theta = float(theta)
+        self.scheme = scheme
         self.enclosed = enclosed
+        # BDF2: effective operator is (3/(2 dt)) M + A1 — expressed through
+        # the existing theta/inv_dt machinery (theta=1, inv_dt=1.5/dt), so
+        # the Jacobian AND the PCD Fp term stay consistent for free
+        th_eff = 1.0 if scheme == "bdf2" else theta
+        idt_eff = (1.5 / dt) if scheme == "bdf2" else (1.0 / dt)
         self.oseen = OseenSolver(asm, bcs, config,
                                  linearization=linearization,
                                  enclosed=enclosed, pcd_marker=pcd_marker,
                                  ap_hierarchy=ap_hierarchy,
                                  velocity_hierarchy=velocity_hierarchy,
-                                 theta=theta, inv_dt=1.0 / dt)
+                                 theta=th_eff, inv_dt=idt_eff)
         self.n_u, self.n = self.oseen.n_u, self.oseen.n
         dtc = self.oseen.dtype
         n_u, n2 = self.n_u, asm.n2
@@ -107,27 +124,62 @@ class UnsteadySolver:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
             return jnp.concatenate([ru, rp])
 
+        def residual_bdf2(w, u_old, u_prev):
+            """BDF2 residual: M (3u - 4 u_old + u_prev)/(2 dt) + C(u) u
+            + B^T p.  Startup (``u_prev == u_old``) degenerates to implicit
+            Euler with effective step 2 dt/3 — same compiled program, and
+            the SAME effective operator 1.5/dt M + A1, so no second
+            Jacobian/PCD build is needed for the first step."""
+            u, p = w[:n_u], w[n_u:]
+            M2h = asm.const_hi.M2
+            M2 = M2h.with_vals(M2h.vals.astype(dtc))
+            acc = (3.0 * u - 4.0 * u_old + u_prev).astype(dtc)
+            mass = jnp.concatenate(
+                [M2.mv(acc[a * n2:(a + 1) * n2]) for a in range(d)]) \
+                * (0.5 * idt)
+            conv_new, rp = asm.residual(u, None, supg=ssupg)
+            ru = (mass + conv_new.astype(dtc)
+                  + asm.grad_p(p.astype(hi_dt)).astype(dtc))
+            ru = free_u * ru
+            rp = rp.astype(dtc)
+            if encl:
+                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
+            return jnp.concatenate([ru, rp])
+
         from ..runtime import lift_jit
         self._conv_part = lift_jit(conv_part, self.oseen._lift_roots)
-        self._residual_full = lift_jit(residual, self.oseen._lift_roots)
+        self._residual_full = lift_jit(
+            residual_bdf2 if scheme == "bdf2" else residual,
+            self.oseen._lift_roots)
 
     def _residual(self, w, u_old):
-        """Convenience (SPMD driver + tests): recomputes conv_part(u_old)."""
-        return self._residual_full(w, u_old, self._conv_part(u_old))
+        """Convenience (SPMD driver + tests): recomputes the per-step aux
+        (theta: conv_part(u_old); bdf2: startup u_prev = u_old)."""
+        return self._residual_full(w, u_old, self._step_aux(u_old, None))
+
+    def _step_aux(self, u_old, u_prev):
+        """The third residual argument for one time step: the cached
+        theta-weighted convection (theta scheme) or the two-steps-ago
+        velocity (BDF2; ``None`` selects the implicit-Euler startup)."""
+        if self.scheme == "bdf2":
+            return u_old if u_prev is None else u_prev
+        return self._conv_part(u_old)
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.oseen.n, dtype=self.oseen.dtype)
         return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
 
     def step(self, w: jnp.ndarray, *, picard_iters: int = 1,
-             rtol: float = 1e-6):
-        """Advance one time step; returns (w_new, total_linear_iters, res)."""
+             rtol: float = 1e-6, u_prev: Optional[jnp.ndarray] = None):
+        """Advance one time step; returns (w_new, total_linear_iters, res).
+        ``u_prev`` (BDF2 only) is the velocity from two steps ago; None
+        selects the startup step."""
         u_old = w[:self.n_u]
-        conv_old = self._conv_part(u_old)    # constant across Picard iters
+        aux = self._step_aux(u_old, u_prev)  # constant across Picard iters
         total = 0
         rn = None
         for _ in range(max(picard_iters, 1)):
-            F = self._residual_full(w, u_old, conv_old)
+            F = self._residual_full(w, u_old, aux)
             rn = float(jnp.linalg.norm(F))
             if rn <= rtol:
                 break
@@ -145,8 +197,12 @@ class UnsteadySolver:
         times, iters, resid = [], [], []
         hist = [] if keep_history else None
         n_steps = int(round(t_end / self.dt))
+        u_prev = None
         for k in range(n_steps):
-            w, it, rn = self.step(w, picard_iters=picard_iters)
+            u_old = w[:self.n_u]
+            w, it, rn = self.step(w, picard_iters=picard_iters,
+                                  u_prev=u_prev)
+            u_prev = u_old                   # BDF2 history (ignored: theta)
             t += self.dt
             times.append(t)
             iters.append(it)

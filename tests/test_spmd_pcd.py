@@ -489,10 +489,12 @@ def test_spmd_newton_velocity_gmg(setup):
     assert rel < 5e-6, rel
 
 
-def test_spmd_unsteady_relaxes_to_poiseuille():
-    """SPMD time stepping (config-3 shape): implicit Euler over sharded
-    linear solves relaxes the channel onto Poiseuille flow — the same
-    physics oracle as the single-device test_unsteady."""
+@pytest.mark.parametrize("scheme", ["theta", "bdf2"])
+def test_spmd_unsteady_relaxes_to_poiseuille(scheme):
+    """SPMD time stepping (config-3 shape): implicit Euler AND BDF2 over
+    sharded linear solves relax the channel onto Poiseuille flow — the same
+    physics oracle as the single-device test_unsteady (bdf2 exercises the
+    u_prev threading through the SPMD driver)."""
     from fenapack_tpu.solvers.unsteady import UnsteadySolver
     from fenapack_tpu.parallel.spmd_pcd import SPMDUnsteadySolver
 
@@ -511,7 +513,7 @@ def test_spmd_unsteady_relaxes_to_poiseuille():
                                      "dtype": "float64",
                                      "krylov.rtol": 1e-8,
                                      "krylov.maxiter": 100})
-    us = UnsteadySolver(asm, bcs, cfg, dt=0.25)
+    us = UnsteadySolver(asm, bcs, cfg, dt=0.25, scheme=scheme)
 
     dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
     ph = gmg.PressureHierarchy(hier, jnp.float64,

@@ -122,3 +122,59 @@ def test_cn_pressure_is_physical():
     pex = 8 * nu * (L - x)
     err = np.max(np.abs(p - pex))
     assert err < 0.05 * 8 * nu * L, (err, p.max(), pex.max())
+
+
+def build_scheme(dt, scheme, nu=0.1, theta=1.0):
+    mesh = meshmod.channel_mesh(0, length=2.0)
+    asm = NSAssembler(mesh, nu)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], poiseuille)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "krylov.rtol": 1e-10})
+    return UnsteadySolver(asm, bcs, cfg, dt=dt, theta=theta, scheme=scheme)
+
+
+def test_bdf2_relaxes_to_poiseuille():
+    """The steady state is scheme-independent: BDF2 must land on Poiseuille
+    like implicit Euler, with per-step PCD solves staying cheap (the BDF2
+    Fp term 1.5/dt Mp rides the same theta/inv_dt machinery)."""
+    solver = build_scheme(dt=0.25, scheme="bdf2")
+    res = solver.solve(t_end=3.0, picard_iters=2)
+    w = np.asarray(res.w)
+    asm = solver.asm
+    coords = asm.W.V.dof_coords()
+    uex = poiseuille(coords)
+    ux = w[:asm.n2][:asm.n2_real]
+    uy = w[asm.n2:2 * asm.n2][:asm.n2_real]
+    err = max(np.abs(ux - uex[:, 0]).max(), np.abs(uy - uex[:, 1]).max())
+    assert err < 2e-3, err
+    assert max(res.linear_iters) < 120, res.linear_iters
+
+
+def test_bdf2_is_second_order():
+    """Temporal convergence order on the channel startup transient: the
+    velocity error at T against a fine-dt reference must shrink ~4x per dt
+    halving for BDF2 (2nd order) vs ~2x for implicit Euler (1st order)."""
+    # measure mid-transient: by T ~ 1 the flow has mostly relaxed to the
+    # (dt-independent) steady state and BE shows spurious superconvergence
+    T = 0.5
+
+    def u_at_T(scheme, dt):
+        s = build_scheme(dt=dt, scheme=scheme)
+        res = s.solve(t_end=T, picard_iters=4)
+        return np.asarray(res.w)[:s.n_u]
+
+    ref = u_at_T("bdf2", 1.0 / 32)
+    e_bdf2 = [np.linalg.norm(u_at_T("bdf2", dt) - ref)
+              for dt in (0.25, 0.125)]
+    r_bdf2 = e_bdf2[0] / e_bdf2[1]
+    e_be = [np.linalg.norm(u_at_T("theta", dt) - ref)
+            for dt in (0.25, 0.125)]
+    r_be = e_be[0] / e_be[1]
+    # BDF2 >= 4x per halving (measured 7.7 — the startup step sharpens
+    # it); backward Euler ~2x (measured 2.17) — and BDF2 strictly more
+    # accurate at the same dt (measured 3.9x)
+    assert r_bdf2 > 3.5, (e_bdf2, r_bdf2)
+    assert r_be < 3.0, (e_be, r_be)
+    assert e_bdf2[1] < 0.5 * e_be[1], (e_bdf2, e_be)
