@@ -6,7 +6,8 @@ builds the assembler, boundary conditions and (optionally GMG-equipped)
 solver in one call, so demos, tests and user code share one entry point:
 
     from fenapack_tpu.models import StepFlow2D
-    nl = StepFlow2D(level=2, nu=0.02).solver(pcd="BRM2", gmg=True)
+    nl = StepFlow2D(level=2, nu=0.02).solver(pcd="BRM2",
+                                             gmg_subsolves=True)
     res = nl.solve(rtol=1e-5)
 
 Every problem exposes:
@@ -69,7 +70,10 @@ class _ProblemBase:
         if gmg_levels is None:
             m = self._base_mesh()
             for _ in range(self.level):
-                m = (meshmod.refine_uniform(m)[0] if self.dim == 2
+                # dispatch on the mesh itself (same criterion as
+                # gmg.build_hierarchy), not the dim field
+                m = (meshmod.refine_uniform(m)[0]
+                     if m.vertices.shape[1] == 2
                      else mesh3d.refine_uniform3d(m)[0])
             return m
         return gmg.build_hierarchy(self._base_mesh(),
@@ -92,13 +96,26 @@ class _ProblemBase:
 
     def solver(self, pcd: str = "BRM2", linearization: str = "picard",
                gmg_subsolves: bool = False, unsteady: Optional[float] = None,
-               theta: float = 1.0, asm=None, **config_overrides):
+               theta: float = 1.0, scheme: str = "theta", asm=None,
+               hier=None, **config_overrides):
         """Build the solver.  ``gmg_subsolves`` equips velocity/Ap GMG
-        hierarchies; ``unsteady=dt`` returns an UnsteadySolver."""
+        hierarchies; ``unsteady=dt`` returns an UnsteadySolver
+        (``scheme="bdf2"`` for the 2nd-order stepper).  To reuse a
+        pre-built assembler on the GMG path, pass the hierarchy it was
+        built on too: ``hier = p.mesh(gmg_levels=...); asm =
+        p.assembler(hier.fine); p.solver(gmg_subsolves=True, asm=asm,
+        hier=hier)`` (PressureHierarchy requires ``asm.mesh is
+        hier.fine``)."""
         over = {"pcd.variant": pcd, "dtype": self.dtype}
         ap_h = v_h = None
         if gmg_subsolves:
-            hier = self.mesh(gmg_levels=self.level)
+            if hier is None:
+                if asm is not None:
+                    raise ValueError(
+                        "gmg_subsolves with a user asm needs the hierarchy"
+                        " it was built on: pass hier= as well (a fresh"
+                        " hierarchy's fine mesh can never be the asm's)")
+                hier = self.mesh(gmg_levels=self.level)
             asm = self.assembler(hier.fine) if asm is None else asm
             over.update({"velocity.method": "gmg", "pcd.ap.method": "gmg"})
             jdt = jnp.float64 if self.dtype == "float64" else jnp.float32
@@ -117,6 +134,7 @@ class _ProblemBase:
         bcs = self.bcs(asm)
         if unsteady is not None:
             return UnsteadySolver(asm, bcs, cfg, dt=unsteady, theta=theta,
+                                  scheme=scheme,
                                   linearization=linearization,
                                   enclosed=self.enclosed(),
                                   ap_hierarchy=ap_h, velocity_hierarchy=v_h)

@@ -29,14 +29,24 @@ _tried = False
 
 
 def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    # process-unique temp name: concurrent builders (pytest-xdist workers —
+    # the threading lock is per-process only) must not interleave object
+    # code into one file; os.replace makes the final install atomic
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-             "-o", _SO + ".tmp"],
+             "-o", tmp],
             check=True, capture_output=True, timeout=300)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -46,17 +56,22 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                       os.path.getmtime(_SRC)
-                                       > os.path.getmtime(_SO)):
-            if not os.path.exists(_SRC) and os.path.exists(_SO):
-                pass                    # installed without sources
-            elif not _build():
-                return None
+        stale = not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+        if stale and not _build() and not os.path.exists(_SO):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
-            return None
+            # wrong-arch or corrupt binary (e.g. committed x86 .so on a
+            # different host): mtimes can't detect this — rebuild once
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                return None
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.fena_unique_i64.restype = ctypes.c_int64

@@ -75,6 +75,20 @@ def collect_sites(roots: Sequence[Any]) -> List[Tuple[Any, str]]:
         if o is None or id(o) in seen:
             continue
         seen.add(id(o))
+        if isinstance(o, jax.Array):
+            # a bare array element of a MIXED container (the all-array case
+            # is lifted whole at its attribute site and never recursed):
+            # there is no (holder, attr) slot to swap, so it will inline as
+            # an HLO literal, frozen at trace time — surface that instead
+            # of silently bloating the serialized program
+            if _is_big_array(o):
+                import warnings
+                warnings.warn(
+                    "lift_jit: big device array inside a mixed container "
+                    "cannot be lifted — it inlines into the program and "
+                    "later mutations are ignored; store it on an object "
+                    "attribute or a runtime.Holder", stacklevel=2)
+            continue
         if isinstance(o, (tuple, list)):
             stack.extend(o)
             continue
@@ -110,6 +124,8 @@ def lift_jit(f: Callable, roots: Sequence[Any],
             for (o, n), v in zip(sites, olds):
                 object.__setattr__(o, n, v)
 
+    if isinstance(static_argnums, int):      # jax.jit accepts a bare int
+        static_argnums = (static_argnums,)
     jf = jax.jit(wrapped, static_argnums=tuple(
         i + 1 for i in static_argnums) if static_argnums else ())
 

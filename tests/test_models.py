@@ -38,3 +38,23 @@ def test_3d_problem(cls):
     nl = cls().solver(**{"krylov.maxiter": 200})
     res = nl.solve(rtol=1e-3, max_steps=5)
     assert res.nonlinear_res[-1] < 1e-3 * res.nonlinear_res[0]
+
+
+def test_model_unsteady_scheme_plumbed():
+    from fenapack_tpu.models.problems import Channel2D
+    us = Channel2D().solver(unsteady=0.25, scheme="bdf2")
+    assert us.scheme == "bdf2"
+    assert abs(us.oseen.inv_dt - 1.5 / 0.25) < 1e-12
+
+
+def test_model_gmg_with_user_assembler():
+    from fenapack_tpu.models.problems import StepFlow2D
+    p = StepFlow2D(level=1)
+    # asm without its hierarchy cannot satisfy the fine-mesh identity check
+    import pytest
+    with pytest.raises(ValueError):
+        p.solver(gmg_subsolves=True, asm=p.assembler())
+    hier = p.mesh(gmg_levels=1)
+    asm = p.assembler(hier.fine)
+    nl = p.solver(gmg_subsolves=True, asm=asm, hier=hier)
+    assert nl.asm is asm
