@@ -101,6 +101,8 @@ class NSAssembler:
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
+        self.quad_degree = quad_degree
+        self._load_u = None             # set_body_force installs -f load
         d = mesh.vertices.shape[1]
         self.dim = d
         # block-sparse layout (TPU production path: MXU tile SpMV instead of
@@ -773,8 +775,49 @@ class NSAssembler:
         ru = jnp.concatenate([A1.mv(comps[a]) for a in range(self.dim)])
         if p is not None:
             ru = ru + self.grad_p(p, hi=hi)
+        if self._load_u is not None:
+            # body force enters every scheme correctly from here: a
+            # time-independent f is theta-invariant, and the Jacobian is
+            # untouched (the load is state-independent).  Note: not
+            # SUPG-test-weighted (the delta (u.grad v).f term is omitted).
+            ru = ru - self._load_u.astype(ru.dtype)
         rp = sum(c.D[a].mv(comps[a]) for a in range(self.dim))
         return ru, rp
+
+    def set_body_force(self, f) -> None:
+        """Install a body force: ``residual`` gains ``-∫ f·v dx``.
+
+        ``f(x: (k, d)) -> (k, d)`` is evaluated at the quadrature points of
+        every cell and integrated against the P2 basis (host-side NumPy,
+        setup-time; the resulting load vector lives on the assembler so
+        ``lift_jit`` passes it as a program argument).  The reference
+        expresses body forces inside the UFL linear form L — this is the
+        factored-path equivalent (the custom-forms path takes them via
+        ``solvers.custom.PCDAssembler(coefficients=...)``).
+        """
+        d, mesh = self.dim, self.mesh
+        if d == 2:
+            from . import elements as el
+            qp, qw = el.triangle_quadrature(self.quad_degree)
+        else:
+            from . import elements3d as el
+            qp, qw = el.tet_quadrature(self.quad_degree)
+        phi2, _ = el.p2_basis(qp)                     # (nq, nb2)
+        nc = mesh.num_cells
+        v = mesh.vertices[mesh.cells]                 # (nc, d+1, d)
+        v0 = v[:, 0]
+        E = v[:, 1:] - v0[:, None]                    # (nc, d, d) edge vecs
+        adet = np.abs(np.linalg.det(
+            np.stack([E[:, i] for i in range(d)], axis=2)))
+        xq = v0[:, None, :] + np.einsum("qk,nkd->nqd", qp, E)
+        fq = np.asarray(f(xq.reshape(-1, d))).reshape(nc, len(qw), d)
+        elem = np.einsum("n,q,nqa,qi->nai", adet, qw, fq, phi2)
+        cd2 = self._cd2_np[:nc]                       # (nc, nb2) real cells
+        b = np.zeros(d * self.n2)
+        for a in range(d):
+            np.add.at(b, a * self.n2 + cd2, elem[:, a, :])
+        b *= self._u_active_np                        # padding rows stay 0
+        self._load_u = jnp.asarray(b, dtype=self.dtype)
 
     def grad_p(self, p: jnp.ndarray, hi: bool = True) -> jnp.ndarray:
         """Pressure-gradient apply ``B^T p`` stacked over components

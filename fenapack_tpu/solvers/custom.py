@@ -51,6 +51,7 @@ class PCDAssembler:
                  bcs_pcd: Sequence[DirichletBC] = (),
                  w: Optional[F.Coefficient] = None,
                  W: Optional[TaylorHood] = None,
+                 coefficients: Optional[Dict[str, jnp.ndarray]] = None,
                  quad_degree: int = 5, dtype=jnp.float64):
         if W is None:
             if w is None:
@@ -65,11 +66,17 @@ class PCDAssembler:
         self._fp, self._gp = fp, gp
         self.bcs = list(bcs)
         self.bcs_pcd = list(bcs_pcd)
+        # extra fixed coefficients (body forces, material fields, ...):
+        # name -> mixed-space dof values, merged into every assembly (the
+        # reference binds such functions inside the UFL forms themselves)
+        self.coefficients = dict(coefficients or {})
 
         # constant forms: assembled once (PCDForm const flag)
-        self._mp_vals = (self.fc.assemble_block(mp, "p", "p")
+        self._mp_vals = (self.fc.assemble_block(mp, "p", "p",
+                                                coeffs=self.coefficients)
                          if mp is not None else None)
-        self._ap_vals = (self.fc.assemble_block(ap, "p", "p")
+        self._ap_vals = (self.fc.assemble_block(ap, "p", "p",
+                                                coeffs=self.coefficients)
                          if ap is not None else None)
 
     # ------------------------------------------------------------- #
@@ -77,7 +84,10 @@ class PCDAssembler:
         return self.W
 
     def _coeffs(self, x) -> Dict[str, jnp.ndarray]:
-        return {} if self.w is None else {self.w.name: x}
+        c = dict(self.coefficients)
+        if self.w is not None:
+            c[self.w.name] = x
+        return c
 
     def system_matrix(self, x) -> Dict[str, jnp.ndarray]:
         """Block values of J(x): keys 'uu', 'up', 'pu', 'pp'."""
@@ -126,7 +136,8 @@ class PCDAssembler:
     def gp(self) -> Optional[jnp.ndarray]:
         if self._gp is None:
             return None
-        return self.fc.assemble_block(self._gp, "u", "p")
+        return self.fc.assemble_block(self._gp, "u", "p",
+                                      coeffs=self.coefficients)
 
     def pcd_bcs(self) -> Sequence[DirichletBC]:
         return self.bcs_pcd
