@@ -141,3 +141,50 @@ def test_custom_coefficients_body_force():
                           jnp.asarray(x[2 * asm.n2:]))
     ref = np.concatenate([np.asarray(ru), np.asarray(rp)])
     assert np.allclose(rv, ref, atol=1e-10), np.abs(rv - ref).max()
+
+
+def test_mms_3d_spatial_convergence():
+    """3D (tet) MMS: the 2D manufactured field extended z-invariantly
+    (third component 0, still divergence-free, u.n = 0 on all faces of the
+    unit cube) — exercises every 3D element tensor end-to-end."""
+    from fenapack_tpu.fem import mesh3d
+
+    def u3(x):
+        u = np.zeros((x.shape[0], 3))
+        u[:, :2] = u_exact(x[:, :2])
+        return u
+
+    def f3(x):
+        f = np.zeros((x.shape[0], 3))
+        f[:, :2] = body_force(x[:, :2])
+        return f
+
+    def run(n):
+        mesh = mesh3d.box_mesh(0, 0, 0, 1, 1, 1, n, n, n)
+        mesh.mark_boundary({meshmod.WALL:
+                            lambda x: np.ones(x.shape[0], bool)},
+                           overwrite=True)
+        asm = NSAssembler(mesh, NU, quad_degree=4)
+        asm.set_body_force(f3)
+        bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL], u3)]
+        cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                         "krylov.rtol": 1e-10,
+                                         "krylov.maxiter": 200})
+        nl = NonlinearSolver(asm, bcs, cfg, enclosed=True)
+        res = nl.solve(rtol=1e-8, max_steps=30)
+        assert res.converged
+        w = np.asarray(res.w)
+        cu = asm.W.V.dof_coords()[:asm.n2_real]
+        ue = u3(cu)
+        eu = np.stack([w[a * asm.n2:(a + 1) * asm.n2][:asm.n2_real]
+                       - ue[:, a] for a in range(3)])
+        cp = asm.W.Q.dof_coords()[:asm.n1_real]
+        ph = w[3 * asm.n2:][:asm.n1_real]
+        pe = p_exact(cp[:, :2])
+        dp = (ph - ph.mean()) - (pe - pe.mean())
+        return np.sqrt(np.mean(eu**2)), np.sqrt(np.mean(dp**2))
+
+    eu3, ep3 = run(3)
+    eu6, ep6 = run(6)
+    assert eu3 / eu6 > 5.0, (eu3, eu6)
+    assert ep3 / ep6 > 3.0, (ep3, ep6)
