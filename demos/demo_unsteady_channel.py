@@ -30,6 +30,9 @@ def main():
                          "startup step)")
     ap.add_argument("--pcd", choices=["BRM1", "BRM2"], default="BRM2")
     ap.add_argument("--picard-iters", type=int, default=2)
+    ap.add_argument("--fused", action="store_true",
+                    help="one-device-call-per-step path (semi-implicit; "
+                         "ignores --picard-iters)")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="npz path: resume if it exists, save at end")
@@ -81,8 +84,11 @@ def main():
         if args.vtk_every and (k + 1) % args.vtk_every == 0:
             save_vtk(f"channel_{k + 1:04d}.vtk", asm, w)
 
-    res = solver.solve(args.t_end - t0, w0=w0,
-                       picard_iters=args.picard_iters, callback=cb)
+    if args.fused:
+        res = solver.solve_fused(args.t_end - t0, w0=w0, callback=cb)
+    else:
+        res = solver.solve(args.t_end - t0, w0=w0,
+                           picard_iters=args.picard_iters, callback=cb)
     for t, it, rn in zip(res.times, res.linear_iters, res.step_res):
         print(f"  t={t0 + t:6.3f}  fgmres iters {it:3d}  |F| {rn:.3e}")
     print(f"wall: {res.wall_time:.2f} s  "

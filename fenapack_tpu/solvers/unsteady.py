@@ -169,6 +169,100 @@ class UnsteadySolver:
         w = jnp.zeros(self.oseen.n, dtype=self.oseen.dtype)
         return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
 
+    def make_step_ir(self, rtol_lin: float = 1e-8, max_rounds: int = 8):
+        """Fused SEMI-IMPLICIT time step: ONE device call per step (the
+        unsteady analogue of ``NonlinearSolver.make_step_ir``).
+
+        Semantics = ``step(..., picard_iters=1)``: wind and ``u_old`` are
+        both the incoming state's velocity, so the theta mass term
+        vanishes from the residual and the linearized operator
+        ``M/dt + theta A1(u_old)`` advances the step.  The residual runs in
+        the assembler (high) precision and the linear solve is the
+        mixed-precision IR path — per-step host round-trips collapse to
+        one, the dominant cost of time stepping on a remote-attached TPU.
+
+        theta scheme: ``step(w) -> (w_new, |F|, iters, lin_rn)``.
+        BDF2:        ``step(w, u_prev) -> ...`` (thread the previous
+        velocity; pass ``w[:n_u]`` for the startup step).
+        """
+        asm = self.asm
+        n_u, n2, d = self.n_u, asm.n2, asm.dim
+        dt_hi = jnp.dtype(asm.dtype)
+        free_u = self.oseen.free_u.astype(dt_hi)
+        encl = self.enclosed
+        p_active = asm.p_active.astype(dt_hi)
+        n_p_real = float(asm.n1_real)
+        ssupg = self.oseen.config.system_supg
+        idt = 1.0 / self.dt
+        bdf2 = self.scheme == "bdf2"
+        ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
+
+        def residual_hi(w, u_prev):
+            u = w[:n_u].astype(dt_hi)
+            p = w[n_u:].astype(dt_hi)
+            conv, rp = asm.residual(u, None, supg=ssupg)
+            ru = conv + asm.grad_p(p)
+            if bdf2:
+                # u_old == u: (3u - 4u_old + u_prev)/(2dt) = (u_prev-u)/(2dt)
+                M2h = asm.const_hi.M2
+                du = (u_prev.astype(dt_hi) - u)
+                ru = ru + jnp.concatenate(
+                    [M2h.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) \
+                    * (0.5 * idt)
+            ru = free_u * ru
+            if encl:
+                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
+            F = jnp.concatenate([ru, rp])
+            return F, jnp.linalg.norm(F)
+
+        from ..runtime import lift_jit
+        if bdf2:
+            def step(w, u_prev):
+                F, rn_nl = residual_hi(w, u_prev)
+                x, iters, rn_lin = ir(w[:n_u], -F)
+                return w + x.astype(w.dtype), rn_nl, iters, rn_lin
+        else:
+            def step(w):
+                F, rn_nl = residual_hi(w, w[:n_u])
+                x, iters, rn_lin = ir(w[:n_u], -F)
+                return w + x.astype(w.dtype), rn_nl, iters, rn_lin
+        return lift_jit(step, self.oseen._lift_roots)
+
+    def solve_fused(self, t_end: float, w0: Optional[jnp.ndarray] = None, *,
+                    rtol_lin: float = 1e-8, keep_history: bool = False,
+                    callback=None) -> UnsteadyResult:
+        """Time loop over the fused one-call-per-step path (semi-implicit:
+        one linearized solve per step, as the reference demo's 'picard'
+        setting)."""
+        t0 = time.perf_counter()
+        step = self.make_step_ir(rtol_lin=rtol_lin)
+        w = self.initial_state() if w0 is None else w0.astype(self.oseen.dtype)
+        bdf2 = self.scheme == "bdf2"
+        u_prev = w[:self.n_u] if bdf2 else None
+        t = 0.0
+        times, iters, resid = [], [], []
+        hist = [] if keep_history else None
+        n_steps = int(round(t_end / self.dt))
+        for k in range(n_steps):
+            u_old = w[:self.n_u]
+            if bdf2:
+                w, rn, it, _ = step(w, u_prev)
+                u_prev = u_old
+            else:
+                w, rn, it, _ = step(w)
+            t += self.dt
+            times.append(t)
+            iters.append(int(it))
+            resid.append(float(rn))
+            if keep_history:
+                hist.append(np.asarray(w))
+            if callback is not None:
+                callback(k, t, w)
+        return UnsteadyResult(w=w, times=times, linear_iters=iters,
+                              step_res=resid,
+                              wall_time=time.perf_counter() - t0,
+                              history=hist)
+
     def step(self, w: jnp.ndarray, *, picard_iters: int = 1,
              rtol: float = 1e-6, u_prev: Optional[jnp.ndarray] = None):
         """Advance one time step; returns (w_new, total_linear_iters, res).

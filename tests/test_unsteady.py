@@ -178,3 +178,16 @@ def test_bdf2_is_second_order():
     assert r_bdf2 > 3.5, (e_bdf2, r_bdf2)
     assert r_be < 3.0, (e_be, r_be)
     assert e_bdf2[1] < 0.5 * e_be[1], (e_bdf2, e_be)
+
+
+@pytest.mark.parametrize("scheme", ["theta", "bdf2"])
+def test_fused_step_matches_plain(scheme):
+    """The one-call-per-step fused path (make_step_ir/solve_fused) computes
+    the same trajectory as the plain semi-implicit step loop."""
+    plain = build_scheme(dt=0.25, scheme=scheme)
+    r1 = plain.solve(t_end=1.0, picard_iters=1)
+    fused = build_scheme(dt=0.25, scheme=scheme)
+    r2 = fused.solve_fused(t_end=1.0, rtol_lin=1e-10)
+    w1, w2 = np.asarray(r1.w), np.asarray(r2.w)
+    assert np.allclose(w1, w2, atol=1e-7), np.abs(w1 - w2).max()
+    assert len(r2.linear_iters) == len(r1.linear_iters)
