@@ -49,17 +49,26 @@ class RecycleSpace(NamedTuple):
     the IR rounds of one linear solve the operator is IDENTICAL and across
     Picard steps it changes slowly, so re-deriving the slow Krylov directions
     from scratch every round pays the Arnoldi startup cost (~5 iterations)
-    over and over.  ``valid`` is 0.0 until the space is first populated.
+    over and over.
+
+    ``valid`` is PER COLUMN (0.0 | 1.0 per direction), so a space can fill
+    up incrementally across solves shorter than ``k`` iterations — the
+    IR rounds of the mixed-precision path run ~5-10 iterations each, and an
+    all-or-nothing flag never bootstrapped there.  Invariants: invalid rows
+    of ``U``/``C`` are exactly zero (every consumer — deflation projection,
+    solution reconstruction, Gram/identity blocks — is then automatically
+    correct without masking), and valid rows always come FIRST (harvest
+    sorts by score), so factorizations only ever see trailing zero columns.
     """
     U: jnp.ndarray              # (k, n)
     C: jnp.ndarray              # (k, n) rows orthonormal, C = A U
-    valid: jnp.ndarray          # scalar float (0.0 | 1.0)
+    valid: jnp.ndarray          # (k,) float mask (0.0 | 1.0 per direction)
 
 
 def empty_recycle(k: int, n: int, dtype) -> RecycleSpace:
     return RecycleSpace(U=jnp.zeros((k, n), dtype),
                         C=jnp.zeros((k, n), dtype),
-                        valid=jnp.zeros((), dtype))
+                        valid=jnp.zeros((k,), dtype))
 
 
 def refresh_recycle(matvec: Callable, rec: RecycleSpace,
@@ -104,11 +113,11 @@ def refresh_recycle(matvec: Callable, rec: RecycleSpace,
             # both so orthonormality AND the invariant hold in precision dt.
             # Gram rows via matrix-vector products (see Cp note above).
             S = jnp.stack([C1 @ C1[i] for i in range(k)]) + jnp.diag(
-                jnp.where(rec.valid > 0, 0.0, 1.0) * jnp.ones(k, dt))
+                jnp.where(rec.valid > 0, 0.0, 1.0).astype(dt))
             L = jnp.linalg.cholesky(S)
             U_new = jax.scipy.linalg.solve_triangular(L, U1, lower=True)
             C_new = jax.scipy.linalg.solve_triangular(L, C1, lower=True)
-    ok = rec.valid > 0
+    ok = (rec.valid > 0)[:, None]
     return RecycleSpace(U=jnp.where(ok, U_new, 0.0),
                         C=jnp.where(ok, C_new, 0.0),
                         valid=rec.valid)
@@ -438,7 +447,7 @@ def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m,
     U, C = rec.U, rec.C
 
     Gtop = jnp.concatenate(
-        [rec.valid * jnp.eye(kr, dtype=dtype), Bm.T], axis=1)  # (kr, kr+m)
+        [jnp.diag(rec.valid.astype(dtype)), Bm.T], axis=1)     # (kr, kr+m)
     Gbot = jnp.concatenate(
         [jnp.zeros((m + 1, kr), dtype), Hm], axis=1)           # (m+1, kr+m)
     G = jnp.concatenate([Gtop, Gbot], axis=0)                  # (kr+m+1, kr+m)
@@ -449,7 +458,7 @@ def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m,
     # MXU passes whose ~1e-3 error defeats the span selection (measured);
     # these ops are tiny, the cost is nil.
     col_invalid = jnp.concatenate([
-        jnp.full(kr, 1.0 - rec.valid, dtype),
+        (1.0 - rec.valid).astype(dtype),
         (jnp.arange(m) >= k_it).astype(dtype)])
     fdt = factor_dtype or dtype
     with jax.default_matmul_precision("highest"):
@@ -461,23 +470,26 @@ def _deflation_update(matvec, rec: RecycleSpace, V, Z, Bm, Hm, k_it, m,
         lam, Vecs = jnp.linalg.eigh((G.T @ G).astype(fdt))     # ascending
         Vecs = Vecs.astype(dtype)
         sig = jnp.sqrt(jnp.maximum(lam, 0.0)).astype(dtype)
-        scores = sig + 1e6 * ((Vecs.T ** 2) @ col_invalid)
+        inv_energy = (Vecs.T ** 2) @ col_invalid               # in [0, 1]
+        scores = sig + 1e6 * inv_energy
+        # ascending scores => valid candidates FIRST, invalid-column noise
+        # last; a selected direction is kept only if it lives in the valid
+        # columns.  Fewer than kr valid candidates (short solve, invalid
+        # incoming space) fills the space PARTIALLY — per-column validity
+        # lets it grow across the short IR rounds instead of never
+        # bootstrapping (the old all-or-nothing flag required one solve of
+        # >= kr iterations, which multi-round IR never performs).
         _, idx = lax.top_k(-scores, kr)
         W = Vecs[:, idx]                                       # (kr+m, kr)
+        sel_ok = (inv_energy[idx] < 0.5).astype(dtype)         # (kr,)
 
         UZ = jnp.concatenate([U, Z], axis=0)                   # (kr+m, n)
-        Ut = W.T @ UZ                                          # (kr, n)
-        # orthonormalize the span (1/sigma scale otherwise), re-bind C = A U
+        Ut = (W.T @ UZ) * sel_ok[:, None]                      # (kr, n)
+        # orthonormalize the span (1/sigma scale otherwise); invalid rows
+        # are zero and sorted last, so QR sees trailing zero columns only
         Qu, _ = jnp.linalg.qr(Ut.T.astype(fdt))
-        Qu = Qu.astype(dtype)
-    cand = refresh_recycle(matvec, RecycleSpace(
-        U=Qu.T, C=jnp.zeros_like(Qu.T), valid=jnp.ones((), dtype)),
+        Qu = Qu.astype(dtype) * sel_ok[None, :]
+    # re-bind C = A U at full precision (zero rows stay zero end-to-end)
+    return refresh_recycle(matvec, RecycleSpace(
+        U=Qu.T, C=jnp.zeros_like(Qu.T), valid=sel_ok),
         factor_dtype=factor_dtype)
-
-    # keep the old space if this solve did too few iterations to harvest
-    # a full replacement
-    ok = k_it >= kr
-    return RecycleSpace(
-        U=jnp.where(ok, cand.U, U),
-        C=jnp.where(ok, cand.C, C),
-        valid=jnp.maximum(ok.astype(dtype), rec.valid))

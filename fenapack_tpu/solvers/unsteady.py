@@ -184,6 +184,13 @@ class UnsteadySolver:
         theta scheme: ``step(w) -> (w_new, |F|, iters, lin_rn)``.
         BDF2:        ``step(w, u_prev) -> ...`` (thread the previous
         velocity; pass ``w[:n_u]`` for the startup step).
+
+        With ``config.krylov.recycle > 0`` the step gains a trailing
+        GCRO-DR recycle-space argument/result (seed with
+        :meth:`initial_recycle`): consecutive time steps differ only by
+        the wind in the convection block, so the deflation space harvested
+        at step k stays effective at step k+1 — the time-stepping analogue
+        of threading the space through Picard steps in the steady driver.
         """
         asm = self.asm
         n_u, n2, d = self.n_u, asm.n2, asm.dim
@@ -216,17 +223,38 @@ class UnsteadySolver:
             return F, jnp.linalg.norm(F)
 
         from ..runtime import lift_jit
+        kr = self.oseen.config.krylov.recycle
         if bdf2:
-            def step(w, u_prev):
-                F, rn_nl = residual_hi(w, u_prev)
-                x, iters, rn_lin = ir(w[:n_u], -F)
-                return w + x.astype(w.dtype), rn_nl, iters, rn_lin
+            if kr:
+                def step(w, u_prev, rec):
+                    F, rn_nl = residual_hi(w, u_prev)
+                    x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
+                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin, rec
+            else:
+                def step(w, u_prev):
+                    F, rn_nl = residual_hi(w, u_prev)
+                    x, iters, rn_lin = ir(w[:n_u], -F)
+                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin
         else:
-            def step(w):
-                F, rn_nl = residual_hi(w, w[:n_u])
-                x, iters, rn_lin = ir(w[:n_u], -F)
-                return w + x.astype(w.dtype), rn_nl, iters, rn_lin
+            if kr:
+                def step(w, rec):
+                    F, rn_nl = residual_hi(w, w[:n_u])
+                    x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
+                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin, rec
+            else:
+                def step(w):
+                    F, rn_nl = residual_hi(w, w[:n_u])
+                    x, iters, rn_lin = ir(w[:n_u], -F)
+                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin
         return lift_jit(step, self.oseen._lift_roots)
+
+    def initial_recycle(self):
+        """Empty GCRO-DR recycle space matching ``config.krylov.recycle``."""
+        from .krylov import empty_recycle
+        kcfg = self.oseen.config.krylov
+        dt = (jnp.dtype(self.asm.dtype) if kcfg.hi_krylov
+              else self.oseen.dtype)
+        return empty_recycle(kcfg.recycle, self.n, dt)
 
     def solve_fused(self, t_end: float, w0: Optional[jnp.ndarray] = None, *,
                     rtol_lin: float = 1e-8, keep_history: bool = False,
@@ -236,6 +264,8 @@ class UnsteadySolver:
         setting)."""
         t0 = time.perf_counter()
         step = self.make_step_ir(rtol_lin=rtol_lin)
+        kr = self.oseen.config.krylov.recycle
+        rec = self.initial_recycle() if kr else None
         w = self.initial_state() if w0 is None else w0.astype(self.oseen.dtype)
         bdf2 = self.scheme == "bdf2"
         u_prev = w[:self.n_u] if bdf2 else None
@@ -245,9 +275,14 @@ class UnsteadySolver:
         n_steps = int(round(t_end / self.dt))
         for k in range(n_steps):
             u_old = w[:self.n_u]
-            if bdf2:
+            if bdf2 and kr:
+                w, rn, it, _, rec = step(w, u_prev, rec)
+                u_prev = u_old
+            elif bdf2:
                 w, rn, it, _ = step(w, u_prev)
                 u_prev = u_old
+            elif kr:
+                w, rn, it, _, rec = step(w, rec)
             else:
                 w, rn, it, _ = step(w)
             t += self.dt

@@ -10,6 +10,13 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pin the TPU-DEFAULT bench configuration regardless of where this test
+# runs: importing bench without FENAPACK_PLATFORM probes the TPU tunnel
+# (900 s stall during an outage) and, on fallback, flips BENCH_DF32=0 —
+# which is exactly the config this lock must NOT silently switch to.
+os.environ["FENAPACK_PLATFORM"] = "cpu"
+os.environ["BENCH_DF32"] = "1"
+
 
 def test_bench_default_config_builds():
     import bench

@@ -44,7 +44,7 @@ def test_fgmres_dr_first_solve_matches_plain(operator):
     assert int(res1.iters) == int(res0.iters)
     tr = float(jnp.linalg.norm(b - mv(res1.x)) / jnp.linalg.norm(b))
     assert tr < 1e-9
-    assert float(rec1.valid) == 1.0
+    assert np.all(np.asarray(rec1.valid) == 1.0)
     # invariants of the harvested space
     C, U = np.asarray(rec1.C), np.asarray(rec1.U)
     assert np.abs(C @ C.T - np.eye(12)).max() < 1e-10
@@ -59,6 +59,37 @@ def test_fgmres_dr_recycling_cuts_iterations(operator):
     b2 = jnp.asarray(rng.standard_normal(n))
     rec = empty_recycle(12, n, jnp.float64)
     res1, rec = fgmres_dr(mv, pc, b1, rec, maxiter=400, rtol=1e-8)
+    res2, _ = fgmres_dr(mv, pc, b2, rec, maxiter=400, rtol=1e-8)
+    plain = fgmres(mv, pc, b2, maxiter=400, rtol=1e-8)
+    tr = float(jnp.linalg.norm(b2 - mv(res2.x)) / jnp.linalg.norm(b2))
+    assert tr < 3e-8
+    assert int(res2.iters) < int(plain.iters), (int(res2.iters),
+                                                int(plain.iters))
+
+
+def test_partial_bootstrap_from_short_solves(operator):
+    """Solves shorter than the recycle dimension must still fill the space
+    INCREMENTALLY (per-column validity) — the IR production path runs
+    rounds of ~5-10 iterations, where an all-or-nothing flag never
+    bootstraps.  Invalid rows stay exactly zero (the consumers rely on it),
+    and the space must eventually cut iterations like a full harvest."""
+    mv, pc, n = operator
+    rng = np.random.default_rng(5)
+    rec = empty_recycle(12, n, jnp.float64)
+    b = jnp.asarray(rng.standard_normal(n))
+    res, rec = fgmres_dr(mv, pc, b, rec, maxiter=8, rtol=1e-14)
+    nv1 = int(np.asarray(rec.valid).sum())
+    assert 0 < nv1 <= 8, nv1
+    U = np.asarray(rec.U)
+    assert np.all(U[np.asarray(rec.valid) == 0.0] == 0.0)
+    assert np.abs(np.asarray(rec.C @ rec.C.T)
+                  - np.diag(np.asarray(rec.valid))).max() < 1e-10
+    # a second short solve grows the space
+    res, rec = fgmres_dr(mv, pc, b - mv(res.x), rec, maxiter=8, rtol=1e-14)
+    nv2 = int(np.asarray(rec.valid).sum())
+    assert nv2 > nv1, (nv1, nv2)
+    # ... and the partially-filled space already helps on a fresh rhs
+    b2 = jnp.asarray(rng.standard_normal(n))
     res2, _ = fgmres_dr(mv, pc, b2, rec, maxiter=400, rtol=1e-8)
     plain = fgmres(mv, pc, b2, maxiter=400, rtol=1e-8)
     tr = float(jnp.linalg.norm(b2 - mv(res2.x)) / jnp.linalg.norm(b2))

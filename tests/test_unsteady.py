@@ -124,14 +124,14 @@ def test_cn_pressure_is_physical():
     assert err < 0.05 * 8 * nu * L, (err, p.max(), pex.max())
 
 
-def build_scheme(dt, scheme, nu=0.1, theta=1.0):
+def build_scheme(dt, scheme, nu=0.1, theta=1.0, extra=None):
     mesh = meshmod.channel_mesh(0, length=2.0)
     asm = NSAssembler(mesh, nu)
     bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                 lambda x: np.zeros((x.shape[0], 2))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], poiseuille)]
     cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
-                                     "krylov.rtol": 1e-10})
+                                     "krylov.rtol": 1e-10, **(extra or {})})
     return UnsteadySolver(asm, bcs, cfg, dt=dt, theta=theta, scheme=scheme)
 
 
@@ -191,3 +191,21 @@ def test_fused_step_matches_plain(scheme):
     w1, w2 = np.asarray(r1.w), np.asarray(r2.w)
     assert np.allclose(w1, w2, atol=1e-7), np.abs(w1 - w2).max()
     assert len(r2.linear_iters) == len(r1.linear_iters)
+
+
+@pytest.mark.parametrize("scheme", ["theta", "bdf2"])
+def test_fused_recycle_across_steps(scheme):
+    """Threading a GCRO-DR recycle space through time steps must leave the
+    trajectory unchanged (same linear tolerance) and save iterations:
+    consecutive step operators differ only by the wind, so the deflation
+    space harvested at step k stays effective at step k+1."""
+    plain = build_scheme(dt=0.25, scheme=scheme)
+    r1 = plain.solve_fused(t_end=2.0, rtol_lin=1e-10)
+    rec = build_scheme(dt=0.25, scheme=scheme,
+                       extra={"krylov.recycle": 12})
+    r2 = rec.solve_fused(t_end=2.0, rtol_lin=1e-10)
+    w1, w2 = np.asarray(r1.w), np.asarray(r2.w)
+    assert np.allclose(w1, w2, atol=1e-7), np.abs(w1 - w2).max()
+    # deflation pays from step 2 onward (step 1 builds the space)
+    assert sum(r2.linear_iters[1:]) < sum(r1.linear_iters[1:]), \
+        (r1.linear_iters, r2.linear_iters)
