@@ -8,7 +8,13 @@ BRM1/BRM2 PCD applies with their boundary-condition variants, Picard/Newton
 and theta-scheme drivers, geometric-multigrid subsolves, SUPG stabilization
 and GSPMD multi-chip domain decomposition.
 
-Public surface mirroring ``fenapack/__init__.py`` re-exports:
+Public surface mirroring ``fenapack/__init__.py``:
+
+The reference's own class names are importable from the package root with
+the reference's constructor shapes (``solvers.custom``): ``PCDAssembler(a,
+L, bcs, mp=, ap=, kp=, ..., bcs_pcd=)`` over user-written ``fem.forms``
+forms, ``PCDKrylovSolver``, ``PCDNewtonSolver``.  The TPU-idiomatic
+factored API underneath maps as:
   fenapack.PCDKrylovSolver        -> solvers.oseen.OseenSolver
   fenapack.PCDAssembler           -> fem.assemble.NSAssembler
   fenapack.PCDNewtonSolver        -> solvers.nonlinear.NonlinearSolver
@@ -34,6 +40,7 @@ from .solvers.oseen import OseenSolver
 from .solvers.nonlinear import NonlinearSolver, NonlinearResult
 from .solvers.unsteady import UnsteadySolver, UnsteadyResult
 from .solvers import gmg
+from .solvers.custom import PCDAssembler, PCDKrylovSolver, PCDNewtonSolver
 
 __version__ = "0.1.0"
 
@@ -48,4 +55,5 @@ __all__ = [
     "fgmres", "FGMRESResult", "make_pcd_apply", "make_fieldsplit_upper",
     "OseenSolver", "NonlinearSolver", "NonlinearResult",
     "UnsteadySolver", "UnsteadyResult", "gmg",
+    "PCDAssembler", "PCDKrylovSolver", "PCDNewtonSolver",
 ]
