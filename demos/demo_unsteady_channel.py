@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="one-device-call-per-step path (semi-implicit; "
                          "ignores --picard-iters)")
+    ap.add_argument("--scan", action="store_true",
+                    help="whole-horizon lax.scan path: ONE device call for "
+                         "the full time loop (semi-implicit; no per-step "
+                         "callbacks, so --vtk-every/--checkpoint are "
+                         "written only at the end)")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="npz path: resume if it exists, save at end")
@@ -84,7 +89,9 @@ def main():
         if args.vtk_every and (k + 1) % args.vtk_every == 0:
             save_vtk(f"channel_{k + 1:04d}.vtk", asm, w)
 
-    if args.fused:
+    if args.scan:
+        res = solver.solve_scan(args.t_end - t0, w0=w0)
+    elif args.fused:
         res = solver.solve_fused(args.t_end - t0, w0=w0, callback=cb)
     else:
         res = solver.solve(args.t_end - t0, w0=w0,

@@ -169,6 +169,54 @@ class UnsteadySolver:
         w = jnp.zeros(self.oseen.n, dtype=self.oseen.dtype)
         return w.at[:self.n_u].set(self.oseen.bc_mask_u * self.oseen.bc_vals_u)
 
+    def _make_raw_step(self, rtol_lin: float, max_rounds: int):
+        """Unjitted fused step ``step(w, u_prev[, rec]) -> (w_new, |F|,
+        iters, lin_rn[, rec])`` shared by :meth:`make_step_ir` (per-step
+        jit) and :meth:`make_full_unsteady` (whole-loop ``lax.scan``).
+        ``u_prev`` is ignored by the theta scheme (pass ``w[:n_u]``)."""
+        asm = self.asm
+        n_u, n2, d = self.n_u, asm.n2, asm.dim
+        dt_hi = jnp.dtype(asm.dtype)
+        free_u = self.oseen.free_u.astype(dt_hi)
+        encl = self.enclosed
+        p_active = asm.p_active.astype(dt_hi)
+        n_p_real = float(asm.n1_real)
+        ssupg = self.oseen.config.system_supg
+        idt = 1.0 / self.dt
+        bdf2 = self.scheme == "bdf2"
+        kr = self.oseen.config.krylov.recycle
+        ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
+
+        def residual_hi(w, u_prev):
+            u = w[:n_u].astype(dt_hi)
+            p = w[n_u:].astype(dt_hi)
+            conv, rp = asm.residual(u, None, supg=ssupg)
+            ru = conv + asm.grad_p(p)
+            if bdf2:
+                # u_old == u: (3u - 4u_old + u_prev)/(2dt) = (u_prev-u)/(2dt)
+                M2h = asm.const_hi.M2
+                du = (u_prev.astype(dt_hi) - u)
+                ru = ru + jnp.concatenate(
+                    [M2h.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) \
+                    * (0.5 * idt)
+            ru = free_u * ru
+            if encl:
+                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
+            F = jnp.concatenate([ru, rp])
+            return F, jnp.linalg.norm(F)
+
+        if kr:
+            def step(w, u_prev, rec):
+                F, rn_nl = residual_hi(w, u_prev)
+                x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
+                return w + x.astype(w.dtype), rn_nl, iters, rn_lin, rec
+        else:
+            def step(w, u_prev):
+                F, rn_nl = residual_hi(w, u_prev)
+                x, iters, rn_lin = ir(w[:n_u], -F)
+                return w + x.astype(w.dtype), rn_nl, iters, rn_lin
+        return step
+
     def make_step_ir(self, rtol_lin: float = 1e-8, max_rounds: int = 8):
         """Fused SEMI-IMPLICIT time step: ONE device call per step (the
         unsteady analogue of ``NonlinearSolver.make_step_ir``).
@@ -192,61 +240,76 @@ class UnsteadySolver:
         at step k stays effective at step k+1 — the time-stepping analogue
         of threading the space through Picard steps in the steady driver.
         """
-        asm = self.asm
-        n_u, n2, d = self.n_u, asm.n2, asm.dim
-        dt_hi = jnp.dtype(asm.dtype)
-        free_u = self.oseen.free_u.astype(dt_hi)
-        encl = self.enclosed
-        p_active = asm.p_active.astype(dt_hi)
-        n_p_real = float(asm.n1_real)
-        ssupg = self.oseen.config.system_supg
-        idt = 1.0 / self.dt
+        from ..runtime import lift_jit
+        raw = self._make_raw_step(rtol_lin, max_rounds)
+        kr = self.oseen.config.krylov.recycle
         bdf2 = self.scheme == "bdf2"
-        ir = self.oseen.make_ir_solve(rtol_lin, max_rounds, _jit=False)
+        n_u = self.n_u
+        if bdf2:
+            step = raw
+        elif kr:
+            def step(w, rec):
+                return raw(w, w[:n_u], rec)
+        else:
+            def step(w):
+                return raw(w, w[:n_u])
+        return lift_jit(step, self.oseen._lift_roots)
 
-        def residual_hi(w, u_prev):
-            u = w[:n_u].astype(dt_hi)
-            p = w[n_u:].astype(dt_hi)
-            conv, rp = asm.residual(u, None, supg=ssupg)
-            ru = conv + asm.grad_p(p)
-            if bdf2:
-                # u_old == u: (3u - 4u_old + u_prev)/(2dt) = (u_prev-u)/(2dt)
-                M2h = asm.const_hi.M2
-                du = (u_prev.astype(dt_hi) - u)
-                ru = ru + jnp.concatenate(
-                    [M2h.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) \
-                    * (0.5 * idt)
-            ru = free_u * ru
-            if encl:
-                rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
-            F = jnp.concatenate([ru, rp])
-            return F, jnp.linalg.norm(F)
+    def make_full_unsteady(self, n_steps: int, rtol_lin: float = 1e-8,
+                           max_rounds: int = 8):
+        """The WHOLE time loop as ONE device program: ``lax.scan`` over
+        fused semi-implicit steps (the unsteady analogue of
+        ``NonlinearSolver.make_full_solve``).  A remote-attached TPU pays
+        one dispatch + one scalar fetch for the entire horizon instead of
+        per step.
+
+        Returns jitted ``full(w0) -> (w, rn_steps, iters_steps)`` with the
+        per-step nonlinear residual norms and linear iteration counts as
+        length-``n_steps`` arrays.  BDF2 threads ``u_prev`` through the
+        scan carry (implicit-Euler startup step included); with
+        ``config.krylov.recycle > 0`` the GCRO-DR space rides the carry,
+        deflating across time steps.
+        """
+        import jax.lax as lax
+        raw = self._make_raw_step(rtol_lin, max_rounds)
+        kr = self.oseen.config.krylov.recycle
+        bdf2 = self.scheme == "bdf2"
+        n_u = self.n_u
+
+        def full(w0):
+            def body(c, _):
+                w, u_prev, rec = c
+                u_old = w[:n_u]
+                if kr:
+                    w, rn, it, _, rec = raw(w, u_prev, rec)
+                else:
+                    w, rn, it, _ = raw(w, u_prev)
+                u_prev = u_old if bdf2 else u_prev
+                return (w, u_prev, rec), (rn, it)
+
+            rec0 = self.initial_recycle() if kr else jnp.zeros(0)
+            (w, _, _), (rns, its) = lax.scan(
+                body, (w0, w0[:n_u], rec0), None, length=n_steps)
+            return w, rns, its
 
         from ..runtime import lift_jit
-        kr = self.oseen.config.krylov.recycle
-        if bdf2:
-            if kr:
-                def step(w, u_prev, rec):
-                    F, rn_nl = residual_hi(w, u_prev)
-                    x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
-                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin, rec
-            else:
-                def step(w, u_prev):
-                    F, rn_nl = residual_hi(w, u_prev)
-                    x, iters, rn_lin = ir(w[:n_u], -F)
-                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin
-        else:
-            if kr:
-                def step(w, rec):
-                    F, rn_nl = residual_hi(w, w[:n_u])
-                    x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
-                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin, rec
-            else:
-                def step(w):
-                    F, rn_nl = residual_hi(w, w[:n_u])
-                    x, iters, rn_lin = ir(w[:n_u], -F)
-                    return w + x.astype(w.dtype), rn_nl, iters, rn_lin
-        return lift_jit(step, self.oseen._lift_roots)
+        return lift_jit(full, self.oseen._lift_roots)
+
+    def solve_scan(self, t_end: float, w0: Optional[jnp.ndarray] = None, *,
+                   rtol_lin: float = 1e-8) -> UnsteadyResult:
+        """Time loop via :meth:`make_full_unsteady` — one device call for
+        the whole horizon (no per-step callbacks/history; use
+        :meth:`solve_fused` when those are needed)."""
+        t0 = time.perf_counter()
+        n_steps = int(round(t_end / self.dt))
+        full = self.make_full_unsteady(n_steps, rtol_lin=rtol_lin)
+        w = self.initial_state() if w0 is None else w0.astype(self.oseen.dtype)
+        w, rns, its = full(w)
+        times = [self.dt * (k + 1) for k in range(n_steps)]
+        return UnsteadyResult(w=w, times=times,
+                              linear_iters=[int(i) for i in np.asarray(its)],
+                              step_res=[float(r) for r in np.asarray(rns)],
+                              wall_time=time.perf_counter() - t0)
 
     def initial_recycle(self):
         """Empty GCRO-DR recycle space matching ``config.krylov.recycle``."""

@@ -193,6 +193,23 @@ def test_fused_step_matches_plain(scheme):
     assert len(r2.linear_iters) == len(r1.linear_iters)
 
 
+@pytest.mark.parametrize("scheme,extra", [
+    ("theta", None), ("bdf2", None), ("theta", {"krylov.recycle": 12})])
+def test_scan_loop_matches_fused(scheme, extra):
+    """The whole-horizon lax.scan loop (make_full_unsteady/solve_scan)
+    computes the same trajectory and iteration counts as the per-step
+    fused host loop — including with the recycle space in the carry."""
+    a = build_scheme(dt=0.25, scheme=scheme, extra=extra)
+    r1 = a.solve_fused(t_end=1.0, rtol_lin=1e-10)
+    b = build_scheme(dt=0.25, scheme=scheme, extra=extra)
+    r2 = b.solve_scan(t_end=1.0, rtol_lin=1e-10)
+    w1, w2 = np.asarray(r1.w), np.asarray(r2.w)
+    assert np.allclose(w1, w2, atol=1e-9), np.abs(w1 - w2).max()
+    assert r2.linear_iters == r1.linear_iters, (r1.linear_iters,
+                                                r2.linear_iters)
+    assert np.allclose(r2.step_res, r1.step_res, rtol=1e-6)
+
+
 @pytest.mark.parametrize("scheme", ["theta", "bdf2"])
 def test_fused_recycle_across_steps(scheme):
     """Threading a GCRO-DR recycle space through time steps must leave the
