@@ -36,8 +36,8 @@ def main():
     ap.add_argument("--scan", action="store_true",
                     help="whole-horizon lax.scan path: ONE device call for "
                          "the full time loop (semi-implicit; no per-step "
-                         "callbacks, so --vtk-every/--checkpoint are "
-                         "written only at the end)")
+                         "callbacks — a single final-state VTK/checkpoint "
+                         "is written at the end)")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="npz path: resume if it exists, save at end")
@@ -89,6 +89,11 @@ def main():
         if args.vtk_every and (k + 1) % args.vtk_every == 0:
             save_vtk(f"channel_{k + 1:04d}.vtk", asm, w)
 
+    if int(round((args.t_end - t0) / args.dt)) <= 0:
+        print(f"nothing to do: checkpoint already at t={t0} >= "
+              f"t_end={args.t_end}")
+        return
+
     if args.scan:
         res = solver.solve_scan(args.t_end - t0, w0=w0)
     elif args.fused:
@@ -100,6 +105,9 @@ def main():
         print(f"  t={t0 + t:6.3f}  fgmres iters {it:3d}  |F| {rn:.3e}")
     print(f"wall: {res.wall_time:.2f} s  "
           f"({res.wall_time / max(len(res.times), 1):.3f} s/step)")
+
+    if args.scan and args.vtk_every:
+        save_vtk(f"channel_{len(res.times):04d}.vtk", asm, res.w)
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, res.w, t0 + res.times[-1],

@@ -78,6 +78,9 @@ class NonlinearSolver:
 
         from ..runtime import lift_jit
         self._residual = lift_jit(residual, self.oseen._lift_roots)
+        # lifted-wrapper cache for make_step_ir/make_full_solve (a fresh
+        # wrapper per call would recompile the fused programs every solve)
+        self._jit_cache = {}
 
     def make_step_ir(self, rtol_lin: float = 1e-8, max_rounds: int = 8):
         """Fully fused nonlinear step for the TPU production path: ONE jitted
@@ -95,6 +98,10 @@ class NonlinearSolver:
         recycle space is threaded through consecutive nonlinear steps
         (seed with :meth:`initial_recycle`).
         """
+        key = ("step", rtol_lin, max_rounds)
+        hit = self._jit_cache.get(key)
+        if hit is not None:
+            return hit
         asm = self.asm
         n_u = self.n_u
         dt_hi = jnp.dtype(asm.dtype)
@@ -123,22 +130,19 @@ class NonlinearSolver:
                 F, rn_nl = residual_of(w)
                 x, iters, rn_lin, rec = ir(w[:n_u], -F, rec)
                 return w + x, rn_nl, iters, rn_lin, rec
-            return lift_jit(step_rec, self.oseen._lift_roots)
-
-        def step(w):
-            F, rn_nl = residual_of(w)
-            x, iters, rn_lin = ir(w[:n_u], -F)
-            return w + x, rn_nl, iters, rn_lin
-
-        return lift_jit(step, self.oseen._lift_roots)
+            out = lift_jit(step_rec, self.oseen._lift_roots)
+        else:
+            def step(w):
+                F, rn_nl = residual_of(w)
+                x, iters, rn_lin = ir(w[:n_u], -F)
+                return w + x, rn_nl, iters, rn_lin
+            out = lift_jit(step, self.oseen._lift_roots)
+        self._jit_cache[key] = out
+        return out
 
     def initial_recycle(self):
         """Empty GCRO-DR recycle space matching ``config.krylov.recycle``."""
-        from .krylov import empty_recycle
-        kcfg = self.oseen.config.krylov
-        dt = (jnp.dtype(self.asm.dtype) if kcfg.hi_krylov
-              else self.oseen.dtype)
-        return empty_recycle(kcfg.recycle, self.n, dt)
+        return self.oseen.initial_recycle()
 
     def initial_state(self) -> jnp.ndarray:
         w = jnp.zeros(self.n, dtype=self.oseen.dtype)
@@ -242,6 +246,10 @@ class NonlinearSolver:
         """
         if self.oseen.config.krylov.recycle:
             raise ValueError("make_full_solve requires krylov.recycle=0")
+        key = ("full", rtol, rtol_lin, max_steps)
+        hit = self._jit_cache.get(key)
+        if hit is not None:
+            return hit
         asm = self.asm
         n_u = self.n_u
         dt_hi = jnp.dtype(asm.dtype)
@@ -296,7 +304,9 @@ class NonlinearSolver:
             return w, k, iters, res
 
         from ..runtime import lift_jit
-        return lift_jit(full, self.oseen._lift_roots)
+        out = lift_jit(full, self.oseen._lift_roots)
+        self._jit_cache[key] = out
+        return out
 
     def solve_anderson(self, w0: Optional[jnp.ndarray] = None, *,
                        m: int = 3, rtol: float = 1e-5,

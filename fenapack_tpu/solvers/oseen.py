@@ -553,6 +553,14 @@ class OseenSolver:
                                    self._bt_mv, self.free_u)
         return matvec, pc
 
+    def initial_recycle(self):
+        """Empty GCRO-DR recycle space matching ``config.krylov.recycle``
+        (single home for the dtype rule: the hi-Krylov space lives in the
+        assembler precision, otherwise in compute precision)."""
+        kcfg = self.config.krylov
+        dt = (jnp.dtype(self.asm.dtype) if kcfg.hi_krylov else self.dtype)
+        return krylov_mod.empty_recycle(kcfg.recycle, self.n, dt)
+
     def make_ir_solve(self, rtol: float = 1e-8, max_rounds: int = 8,
                       _jit: bool = True):
         """Return a JITTED ``(wind, b) -> (x, total_iters, true_resnorm)``

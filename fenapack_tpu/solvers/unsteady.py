@@ -151,6 +151,9 @@ class UnsteadySolver:
         self._residual_full = lift_jit(
             residual_bdf2 if scheme == "bdf2" else residual,
             self.oseen._lift_roots)
+        # lifted-wrapper cache for make_step_ir/make_full_unsteady (a fresh
+        # wrapper per call would recompile the fused programs every solve)
+        self._jit_cache = {}
 
     def _residual(self, w, u_old):
         """Convenience (SPMD driver + tests): recomputes the per-step aux
@@ -240,6 +243,13 @@ class UnsteadySolver:
         at step k stays effective at step k+1 — the time-stepping analogue
         of threading the space through Picard steps in the steady driver.
         """
+        # cache the lifted wrapper: a fresh one per call would retrace (and
+        # re-compile, minutes on the remote axon compile service) the whole
+        # fused program on every solve_fused invocation
+        key = ("step", rtol_lin, max_rounds)
+        hit = self._jit_cache.get(key)
+        if hit is not None:
+            return hit
         from ..runtime import lift_jit
         raw = self._make_raw_step(rtol_lin, max_rounds)
         kr = self.oseen.config.krylov.recycle
@@ -253,7 +263,9 @@ class UnsteadySolver:
         else:
             def step(w):
                 return raw(w, w[:n_u])
-        return lift_jit(step, self.oseen._lift_roots)
+        out = lift_jit(step, self.oseen._lift_roots)
+        self._jit_cache[key] = out
+        return out
 
     def make_full_unsteady(self, n_steps: int, rtol_lin: float = 1e-8,
                            max_rounds: int = 8):
@@ -271,6 +283,10 @@ class UnsteadySolver:
         deflating across time steps.
         """
         import jax.lax as lax
+        key = ("full", n_steps, rtol_lin, max_rounds)
+        hit = self._jit_cache.get(key)
+        if hit is not None:
+            return hit
         raw = self._make_raw_step(rtol_lin, max_rounds)
         kr = self.oseen.config.krylov.recycle
         bdf2 = self.scheme == "bdf2"
@@ -293,7 +309,9 @@ class UnsteadySolver:
             return w, rns, its
 
         from ..runtime import lift_jit
-        return lift_jit(full, self.oseen._lift_roots)
+        out = lift_jit(full, self.oseen._lift_roots)
+        self._jit_cache[key] = out
+        return out
 
     def solve_scan(self, t_end: float, w0: Optional[jnp.ndarray] = None, *,
                    rtol_lin: float = 1e-8) -> UnsteadyResult:
@@ -313,11 +331,7 @@ class UnsteadySolver:
 
     def initial_recycle(self):
         """Empty GCRO-DR recycle space matching ``config.krylov.recycle``."""
-        from .krylov import empty_recycle
-        kcfg = self.oseen.config.krylov
-        dt = (jnp.dtype(self.asm.dtype) if kcfg.hi_krylov
-              else self.oseen.dtype)
-        return empty_recycle(kcfg.recycle, self.n, dt)
+        return self.oseen.initial_recycle()
 
     def solve_fused(self, t_end: float, w0: Optional[jnp.ndarray] = None, *,
                     rtol_lin: float = 1e-8, keep_history: bool = False,

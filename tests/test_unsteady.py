@@ -194,11 +194,13 @@ def test_fused_step_matches_plain(scheme):
 
 
 @pytest.mark.parametrize("scheme,extra", [
-    ("theta", None), ("bdf2", None), ("theta", {"krylov.recycle": 12})])
+    ("theta", None), ("bdf2", None), ("theta", {"krylov.recycle": 12}),
+    ("bdf2", {"krylov.recycle": 12})])
 def test_scan_loop_matches_fused(scheme, extra):
     """The whole-horizon lax.scan loop (make_full_unsteady/solve_scan)
     computes the same trajectory and iteration counts as the per-step
-    fused host loop — including with the recycle space in the carry."""
+    fused host loop — including with the recycle space and the BDF2
+    u_prev history riding the carry (separately and together)."""
     a = build_scheme(dt=0.25, scheme=scheme, extra=extra)
     r1 = a.solve_fused(t_end=1.0, rtol_lin=1e-10)
     b = build_scheme(dt=0.25, scheme=scheme, extra=extra)
