@@ -229,10 +229,9 @@ def main():
     nl = build(level, variant, ls=ls, block_size=bs)
 
     # fully-fused path: the WHOLE Picard solve is one device program (no
-    # per-step host round-trips / scalar fetches through the tunnel);
-    # available when recycling is off (hi_krylov default)
-    fullfuse = (os.environ.get("BENCH_FULLFUSE", "1") == "1"
-                and nl.oseen.config.krylov.recycle == 0)
+    # per-step host round-trips / scalar fetches through the tunnel); the
+    # GCRO-DR recycle space (f32 IR mode, BENCH_HIK=0) rides the carry
+    fullfuse = os.environ.get("BENCH_FULLFUSE", "1") == "1"
     if fullfuse:
         full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
         w0 = nl.initial_state().astype(jnp.float64)

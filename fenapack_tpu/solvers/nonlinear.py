@@ -240,12 +240,11 @@ class NonlinearSolver:
         Returns jitted ``full(w0) -> (w, n_steps, iters_per_step, res_hist)``
         — a single host round-trip for the entire solve (the per-step
         dispatch + scalar fetch of the host loop costs ~30-60 ms each
-        through the remote-attached TPU tunnel).  Requires
-        ``config.krylov.recycle == 0`` (thread recycle state via
-        :meth:`solve_fused` otherwise).
+        through the remote-attached TPU tunnel).  With
+        ``config.krylov.recycle > 0`` the GCRO-DR space rides the
+        ``while_loop`` carry, deflating across Picard steps inside the one
+        program.
         """
-        if self.oseen.config.krylov.recycle:
-            raise ValueError("make_full_solve requires krylov.recycle=0")
         key = ("full", rtol, rtol_lin, max_steps)
         hit = self._jit_cache.get(key)
         if hit is not None:
@@ -270,37 +269,44 @@ class NonlinearSolver:
             F = jnp.concatenate([ru, rp])
             return F, jnp.linalg.norm(F)
 
+        kr = self.oseen.config.krylov.recycle
+
         def full(w0):
             w0 = w0.astype(dt_hi)
             iters0 = jnp.zeros(max_steps, jnp.int32)
             res0 = jnp.zeros(max_steps + 1, dt_hi)
+            rec0 = self.initial_recycle() if kr else jnp.zeros(0)
 
             def cond(c):
-                k, w, r0, iters, res, done = c
+                k, w, r0, iters, res, done, rec = c
                 return jnp.logical_and(k < max_steps, jnp.logical_not(done))
 
             def body(c):
-                k, w, r0, iters, res, done = c
+                k, w, r0, iters, res, done, rec = c
                 F, rn = residual_of(w)
                 r0 = jnp.where(k == 0, jnp.where(rn > 0, rn, 1.0), r0)
                 res = res.at[k].set(rn)
                 conv = rn <= rtol * r0
 
-                def take_step(_):
-                    x, it, _ = ir(w[:n_u], -F)
-                    return w + x, it
+                def take_step(rec):
+                    if kr:
+                        x, it, _, rec = ir(w[:n_u], -F, rec)
+                    else:
+                        x, it, _ = ir(w[:n_u], -F)
+                    return w + x, it, rec
 
                 # lax.cond: the converged final check pays NO linear solve
-                w_new, it = jax.lax.cond(
-                    conv, lambda _: (w, jnp.array(0, jnp.int32)),
-                    take_step, None)
+                w_new, it, rec = jax.lax.cond(
+                    conv, lambda rec: (w, jnp.array(0, jnp.int32), rec),
+                    take_step, rec)
                 iters = iters.at[k].set(it)
                 return (k + jnp.where(conv, 0, 1), w_new, r0, iters, res,
-                        conv)
+                        conv, rec)
 
-            k, w, r0, iters, res, done = jax.lax.while_loop(
+            k, w, r0, iters, res, done, _ = jax.lax.while_loop(
                 cond, body, (jnp.array(0, jnp.int32), w0,
-                             jnp.array(1.0, dt_hi), iters0, res0, False))
+                             jnp.array(1.0, dt_hi), iters0, res0, False,
+                             rec0))
             return w, k, iters, res
 
         from ..runtime import lift_jit

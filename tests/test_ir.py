@@ -66,3 +66,29 @@ def test_host_ir_matches_fused():
     # both are valid IR trajectories; solutions agree to linear-solve tol
     diff = float(jnp.linalg.norm(x_host - x_fused) / jnp.linalg.norm(x_fused))
     assert diff < 1e-6, diff
+
+
+import pytest
+
+
+@pytest.mark.parametrize("recycle", [0, 12])
+def test_full_solve_matches_fused_loop(recycle):
+    """make_full_solve (whole Picard solve as one while_loop program) must
+    reproduce the host-loop solve_fused trajectory — with and without the
+    GCRO-DR recycle space riding the while_loop carry."""
+    over = {"dtype": "float32", "krylov.rtol": 2e-6, "krylov.maxiter": 80,
+            "krylov.recycle": recycle}
+    a = make_step_solver(0, "BRM2", **over)
+    r1 = a.solve_fused(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
+    assert r1.converged
+
+    b = make_step_solver(0, "BRM2", **over)
+    full = b.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
+    w, k, iters, res = full(b.initial_state())
+    k = int(k)
+    assert k == len(r1.nonlinear_res) - 1, (k, r1.nonlinear_res)
+    assert np.allclose(np.asarray(w), np.asarray(r1.w), atol=1e-7)
+    its = [int(i) for i in np.asarray(iters)[:k]]
+    assert its == r1.linear_iters, (its, r1.linear_iters)
+    # cached wrapper: second build returns the same object (no retrace)
+    assert b.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25) is full
