@@ -41,4 +41,4 @@ from fenapack_tpu.fem.assemble import NSAssembler
 asm = t("NSAssembler init (patterns+consts)",
         lambda: NSAssembler(mesh, 0.02, dtype=jnp.float64, block_size=32,
                             reorder=True, block_dtype=jnp.float32))
-print("total dofs:", asm.n)
+print("total dofs:", asm.dim * asm.n2 + asm.n1)
