@@ -82,3 +82,32 @@ def test_velocity_jacobi_subsolve():
     assert r_jb.converged
     err = float(jnp.linalg.norm(r_jb.w - r_lu.w) / jnp.linalg.norm(r_lu.w))
     assert err < 1e-3, err
+
+
+def test_duct_unsteady_relaxes_to_steady():
+    """3D unsteady (config 3 x config 4 cross): implicit-Euler stepping on
+    the duct relaxes toward the steady solve's state, per-step PCD solves
+    stay cheap (Mp/dt strengthens the Schur PC), and the fused one-call
+    path reproduces the plain loop."""
+    from fenapack_tpu.solvers.unsteady import UnsteadySolver
+
+    steady = build_duct(level=0)
+    ws = np.asarray(steady.solve(rtol=1e-6, max_steps=15).w)
+
+    mesh = mesh3d.channel_mesh3d(0, length=2.0)
+    asm = NSAssembler(mesh, 0.1, quad_degree=4)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 3))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], duct_inflow)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "velocity.method": "lu"})
+    us = UnsteadySolver(asm, bcs, cfg, dt=0.25)
+    res = us.solve_fused(t_end=3.0, rtol_lin=1e-8)
+    assert max(res.linear_iters) < 100, res.linear_iters
+    w = np.asarray(res.w)
+    n2, n_u = asm.n2, 3 * asm.n2
+    err = np.abs(w[:n_u] - ws[:n_u]).max()
+    assert err < 2e-3, err
+    div = sum(np.asarray(asm.const.D[a].mv(
+        jnp.asarray(w[a * n2:(a + 1) * n2]))) for a in range(3))
+    assert np.abs(div).max() < 1e-9, np.abs(div).max()
