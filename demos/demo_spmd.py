@@ -35,12 +35,19 @@ def main():
                          "config 5: use with --nu 1e-3 for Re=2000)")
     ap.add_argument("--nls", choices=["picard", "newton"], default="picard",
                     help="linearization for the ring-path nonlinear solve")
+    ap.add_argument("--fused", action="store_true",
+                    help="ring path: ONE device program per nonlinear step "
+                         "(device-side operand re-binding; requires the "
+                         "minres velocity subsolve, i.e. not --supg)")
     args = ap.parse_args()
     if args.supg and args.nls == "newton":
         ap.error("--supg stabilizes with the LAGGED (Picard) operator; the "
                  "Newton reaction is not the Jacobian of the stabilized "
                  "residual, so Newton loses superlinearity — use "
                  "--nls picard for high-Re runs (as the reference does)")
+    if args.supg and args.fused:
+        ap.error("--fused requires the minres velocity subsolve (the "
+                 "velocity-GMG operands re-bind on host)")
 
     if "xla_force_host_platform_device_count" not in os.environ.get(
             "XLA_FLAGS", ""):
@@ -152,8 +159,11 @@ def main():
                                       cheb_velocity_iters=12,
                                       maxiter=maxiter, rtol_lin=1e-6)
             w0 = pic.solve(max_steps=2, rtol=0.0).w
-        out = snl.solve(w0=w0, rtol=1e-5, max_steps=15,
-                        damping=0.7 if args.supg else 1.0)
+        if args.fused:
+            out = snl.solve_fused(w0=w0, rtol=1e-5, max_steps=15)
+        else:
+            out = snl.solve(w0=w0, rtol=1e-5, max_steps=15,
+                            damping=0.7 if args.supg else 1.0)
         sp = snl.sp
         print(f"[ring]  {n_dev} devices: full {args.nls} solve over the "
               f"ring-halo SPMD path: converged={out.converged} in "

@@ -80,9 +80,25 @@ class _FieldRing:
         self.ring = RingHaloELL(e, n_dev, axis, valid=va)
         self.vals = e.vals
         self.cols = self.ring.cols_ext
+        # device-side re-binding support: the layout is STRUCTURAL (pattern
+        # slots + constant pad rows), so new wind-dependent values drop in
+        # as a masked copy — jit-safe, no host round-trip per step
+        self._n_rows_real = n_rows_real
+        self._valid_real = jnp.asarray(valid)
+        self._tail_vals = e.vals[n_rows_real:]
 
     def operands(self):
         return (self.vals, self.cols)
+
+    def rebind(self, vals_full):
+        """New ring VALUES from the pattern's ELL value array (same
+        structural layout; jit-safe).  ``vals_full`` rows beyond the real
+        row count (assembler alignment padding) are dropped; the ring's
+        own pad rows keep their constant (identity/zero) values."""
+        v = jnp.where(self._valid_real,
+                      vals_full[:self._n_rows_real], 0.0)
+        return jnp.concatenate([v.astype(self.vals.dtype),
+                                self._tail_vals])
 
 
 class SPMDPCDSolver:
@@ -202,6 +218,7 @@ class SPMDPCDSolver:
             self._asm_from_gmg = jnp.asarray(gmg_of_asm)
 
         self._solve_fn = None
+        self._rings = None
 
     # ---------------------------------------------------------------- #
     def _build_pack_maps(self):
@@ -570,7 +587,9 @@ class SPMDPCDSolver:
 
         return matvec_local, pc_local
 
-    def solve(self, ops, b_dm):
+    def _make_run(self, ops):
+        """The shard_map'd sharded solve ``run(ops, b_dm)`` (unjitted, for
+        composition into larger fused programs)."""
         axis = self.axis
         # specs: replicated index maps, row-sharded everything else
         ops_specs = jax.tree.map(lambda x: P(axis), ops)
@@ -588,9 +607,103 @@ class SPMDPCDSolver:
                                  maxiter=self.maxiter, rtol=self.rtol,
                                  axis=axis)
 
+        return run
+
+    def solve(self, ops, b_dm):
         if self._solve_fn is None:
-            self._solve_fn = jax.jit(run)
+            self._solve_fn = jax.jit(self._make_run(ops))
         return self._solve_fn(ops, jnp.asarray(b_dm, self.dtype))
+
+    # ---------------------------------------------------------------- #
+    # device-side per-step re-binding (fused-step support)
+    # ---------------------------------------------------------------- #
+    def _dev_maps(self):
+        """Device index maps for jit-safe pack/unpack/_u_dm (lazy)."""
+        m = getattr(self, "_devmaps", None)
+        if m is not None:
+            return m
+        d, n2, n2r, n2p = self.d, self.asm.n2, self.n2r, self.n2p
+        loc2 = self.loc2
+        pad_u_dst = np.concatenate(
+            [a * n2p + np.arange(n2r) for a in range(d)])
+        pad_u_src = np.concatenate(
+            [a * n2 + np.arange(n2r) for a in range(d)])
+        # u-space device-major permutation: out[o] = up[udm_src[o]]
+        udm_src = np.empty(d * n2p, dtype=np.int64)
+        for a in range(d):
+            j = np.arange(n2p)
+            dev = j // loc2
+            udm_src[dev * d * loc2 + a * loc2 + (j - dev * loc2)] = \
+                a * n2p + j
+        # cache NUMPY index arrays: jnp constants created while tracing a
+        # fused step would cache as tracers and leak out of the trace
+        m = dict(pad_u_dst=pad_u_dst, pad_u_src=pad_u_src, udm_src=udm_src,
+                 u_pos=self._u_pos, p_pos=self._p_pos)
+        self._devmaps = m
+        return m
+
+    def pack_dev(self, u_asm, p_asm):
+        """jit-safe :meth:`pack` (assembler order -> device-major)."""
+        m = self._dev_maps()
+        dt = self.dtype
+        up = jnp.zeros(self.d * self.n2p, dt).at[m["pad_u_dst"]].set(
+            u_asm[m["pad_u_src"]].astype(dt))
+        out = jnp.zeros(self.n_glob, dt).at[m["u_pos"]].set(up)
+        return out.at[m["p_pos"][:self.n1r]].set(
+            p_asm[:self.n1r].astype(dt))
+
+    def unpack_dev(self, x_dm):
+        """jit-safe :meth:`unpack` -> (u stacked assembler-padded, p)."""
+        m = self._dev_maps()
+        up = x_dm[m["u_pos"]]
+        u = jnp.zeros(self.d * self.asm.n2, x_dm.dtype).at[
+            m["pad_u_src"]].set(up[m["pad_u_dst"]])
+        p = jnp.zeros(self.asm.n1, x_dm.dtype).at[:self.n1r].set(
+            x_dm[m["p_pos"][:self.n1r]])
+        return u, p
+
+    def bind_operands(self, wind_asm, ops):
+        """Jit-safe re-binding of the wind-dependent ``ops`` entries
+        (a1/kp/R ring values + the Jacobi diagonal) on DEVICE — the
+        fused-step replacement for the host :meth:`build_operands` after
+        the template has been built once.  Velocity-GMG operand re-binding
+        still goes through the host path."""
+        if self.velocity_gmg is not None:
+            raise NotImplementedError(
+                "device-side re-binding with a velocity GMG: rebuild via "
+                "build_operands (host) instead")
+        oseen, asm, dt = self.oseen, self.asm, self.dtype
+        rings = self._rings
+        if rings is None or rings.get("a1") is None:
+            raise RuntimeError("call build_operands once to set the "
+                               "structural ring layouts")
+        wind = wind_asm.astype(dt)
+        A1vals, R = oseen._operator_values(wind)
+        kpvals = asm.kp_values(
+            wind, surface=(oseen.config.pcd.variant == "BRM2")).astype(dt)
+        ops = dict(ops)
+        ops["a1"] = (rings["a1"].rebind(A1vals), ops["a1"][1])
+        ops["kp"] = (rings["kp"].rebind(kpvals), ops["kp"][1])
+        if R is not None:
+            ops["R"] = tuple(tuple(
+                (rings["R"][a][b].rebind(R[a, b]), ops["R"][a][b][1])
+                for b in range(self.d)) for a in range(self.d))
+        # Jacobi diagonal (incl. Newton reaction diag), u-dm layout
+        m = self._dev_maps()
+        n2r, n2p = self.n2r, self.n2p
+        diag = asm.pat_p2.matrix(A1vals).diag_from(asm.pat_p2.diag_pos)
+        base = jnp.ones(n2p, dt).at[:n2r].set(diag[:n2r].astype(dt))
+        comps = []
+        for a in range(self.d):
+            da = base
+            if R is not None:
+                rd = asm.pat_p2.matrix(R[a, a]).diag_from(
+                    asm.pat_p2.diag_pos)
+                da = da.at[:n2r].add(rd[:n2r].astype(dt))
+            comps.append(da)
+        up = jnp.concatenate(comps)
+        ops["a1_dinv"] = (1.0 / up)[m["udm_src"]]
+        return ops
 
 
 class SPMDNonlinearSolver:
@@ -628,6 +741,70 @@ class SPMDNonlinearSolver:
 
     def initial_state(self):
         return self.nl.initial_state()
+
+    def make_step_fused(self):
+        """ONE device program per Picard/Newton step: residual + device-
+        side operand re-binding + the sharded solve + state update.  The
+        host loop of :meth:`solve` dispatches ~4 programs and fetches
+        full vectors through the host every step (``np.asarray`` on F and
+        x); on a remote-attached TPU pod those round-trips dominate small-
+        step costs.  Requires the minres velocity subsolve
+        (``velocity_gmg=None`` — GMG operands still re-bind on host).
+
+        Returns ``(step, ops)`` with jitted
+        ``step(w, ops) -> (w_new, |F|, iters)``.
+        """
+        nl, sp = self.nl, self.sp
+        if sp.velocity_gmg is not None:
+            raise NotImplementedError(
+                "fused SPMD step requires velocity_gmg=None")
+        n_u = nl.n_u
+        ops0 = sp.build_operands(nl.initial_state()[:n_u])  # template
+        run = sp._make_run(ops0)
+        resid = nl._residual
+
+        def step(w, ops):
+            F = resid(w)
+            rn = jnp.linalg.norm(F)
+            b = sp.pack_dev(-F[:n_u], -F[n_u:])
+            ops2 = sp.bind_operands(w[:n_u], ops)
+            x, k, _ = run(ops2, b)
+            du, dp = sp.unpack_dev(x)
+            dw = jnp.concatenate([du, dp]).astype(w.dtype)
+            return w + dw, rn, k
+
+        return jax.jit(step), ops0
+
+    def solve_fused(self, w0=None, rtol: float = 1e-5, atol: float = 0.0,
+                    max_steps: int = 25):
+        """:meth:`solve` over the fused one-call-per-step path."""
+        import time
+        from ..solvers.nonlinear import NonlinearResult
+
+        nl = self.nl
+        if getattr(self, "_fused", None) is None:
+            self._fused = self.make_step_fused()
+        step, ops = self._fused
+        w = nl.initial_state() if w0 is None else jnp.asarray(w0)
+        t0 = time.time()
+        res_hist, lin_iters = [], []
+        r0 = None
+        converged = False
+        for _ in range(max_steps):
+            w_new, rn, k = step(w, ops)
+            rn = float(rn)
+            res_hist.append(rn)
+            if r0 is None:
+                r0 = rn if rn > 0 else 1.0
+            if rn <= max(rtol * r0, atol):
+                converged = True
+                break
+            w = w_new
+            lin_iters.append(int(k))
+        return NonlinearResult(w=w, nonlinear_res=res_hist,
+                               linear_iters=lin_iters, linear_resnorms=[],
+                               converged=converged,
+                               wall_time=time.time() - t0)
 
     def solve(self, w0=None, rtol: float = 1e-5, atol: float = 0.0,
               max_steps: int = 25, damping: float = 1.0):

@@ -534,3 +534,57 @@ def test_spmd_unsteady_relaxes_to_poiseuille(scheme):
     assert err < 2e-3, err
     # Mp/dt keeps the per-step sharded solves cheap
     assert max(res.linear_iters) < 100, res.linear_iters
+
+
+def test_fused_spmd_step_matches_host_loop(setup):
+    """The ONE-device-program SPMD step (device-side operand re-binding +
+    pack/unpack + sharded solve fused into a single jit) reproduces the
+    host-loop SPMD driver's trajectory and iteration counts exactly."""
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
+
+    nl, sp = setup
+    steps = 3
+    snl = SPMDNonlinearSolver(nl, spmd_solver=sp)
+    ref = snl.solve(max_steps=steps, rtol=0.0)
+
+    out = snl.solve_fused(max_steps=steps, rtol=0.0)
+    assert out.linear_iters == ref.linear_iters, (out.linear_iters,
+                                                  ref.linear_iters)
+    assert np.allclose(out.nonlinear_res, ref.nonlinear_res, rtol=1e-10), \
+        (out.nonlinear_res, ref.nonlinear_res)
+    assert np.allclose(np.asarray(out.w), np.asarray(ref.w), atol=1e-9)
+
+
+def test_fused_spmd_step_newton(setup):
+    """Fused SPMD step with Newton reaction rings: device re-binding of the
+    (d, d) R block + its Jacobi diagonal matches the host path."""
+    from fenapack_tpu.parallel.spmd_pcd import (SPMDNonlinearSolver,
+                                                SPMDPCDSolver)
+
+    nl_pic, sp_pic = setup
+    asm = nl_pic.asm
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-8, "krylov.maxiter": 150,
+        "velocity.bounds": (0.05, 1.97)})
+    nl = NonlinearSolver(asm, bcs, cfg, linearization="newton")
+    sp = SPMDPCDSolver(nl.oseen, sp_pic.mesh, ap_gmg=sp_pic.ap_gmg,
+                       cheb_velocity_iters=16, maxiter=150, rtol=1e-8)
+    # warm start into the Newton basin
+    w = nl_pic.initial_state()
+    for _ in range(2):
+        F = nl_pic._residual(w)
+        w = w + nl_pic.oseen.solve(w[:nl_pic.n_u], -F).x
+
+    snl = SPMDNonlinearSolver(nl, spmd_solver=sp)
+    ref = snl.solve(w0=w, rtol=0.0, max_steps=2)
+    out = snl.solve_fused(w0=w, rtol=0.0, max_steps=2)
+    assert out.linear_iters == ref.linear_iters, (out.linear_iters,
+                                                  ref.linear_iters)
+    assert np.allclose(out.nonlinear_res, ref.nonlinear_res, rtol=1e-10)
+    # Newton contraction preserved
+    r = out.nonlinear_res
+    assert r[1] < 0.35 * r[0], r
