@@ -869,6 +869,77 @@ class SPMDUnsteadySolver:
                                     cheb_velocity_iters=cheb_velocity_iters,
                                     maxiter=maxiter, rtol=rtol_lin)
 
+    def make_step_fused(self):
+        """ONE device program per time step (semi-implicit, as
+        ``step(picard_iters=1)``): residual + device-side operand
+        re-binding + the sharded solve + update — the SPMD analogue of
+        ``UnsteadySolver.make_step_ir``.  Requires the minres velocity
+        subsolve (``velocity_gmg=None``).
+
+        Returns ``(step, ops)`` with jitted
+        ``step(w, u_prev, ops) -> (w_new, |F|, iters)``; ``u_prev`` is the
+        BDF2 two-steps-ago velocity (ignored by the theta scheme — pass
+        ``w[:n_u]``).
+        """
+        us, sp = self.us, self.sp
+        if sp.velocity_gmg is not None:
+            raise NotImplementedError(
+                "fused SPMD unsteady step requires velocity_gmg=None")
+        n_u = us.n_u
+        bdf2 = us.scheme == "bdf2"
+        ops0 = sp.build_operands(us.initial_state()[:n_u])  # template
+        run = sp._make_run(ops0)
+        resid = us._residual_full
+        conv_part = us._conv_part
+
+        def step(w, u_prev, ops):
+            u_old = w[:n_u]
+            aux = u_prev if bdf2 else conv_part(u_old)
+            F = resid(w, u_old, aux)
+            rn = jnp.linalg.norm(F)
+            b = sp.pack_dev(-F[:n_u], -F[n_u:])
+            ops2 = sp.bind_operands(u_old, ops)
+            x, k, _ = run(ops2, b)
+            du, dp = sp.unpack_dev(x)
+            dw = jnp.concatenate([du, dp]).astype(w.dtype)
+            return w + dw, rn, k
+
+        return jax.jit(step), ops0
+
+    def solve_fused(self, t_end: float, w0=None, *, keep_history=False,
+                    callback=None):
+        """Time loop over the fused one-call-per-step sharded path."""
+        import time
+        from ..solvers.unsteady import UnsteadyResult
+
+        us = self.us
+        t0 = time.perf_counter()
+        if getattr(self, "_fused", None) is None:
+            self._fused = self.make_step_fused()
+        step, ops = self._fused
+        w = us.initial_state() if w0 is None else jnp.asarray(w0)
+        u_prev = w[:us.n_u]
+        t = 0.0
+        times, iters, resid = [], [], []
+        hist = [] if keep_history else None
+        n_steps = int(round(t_end / us.dt))
+        for k in range(n_steps):
+            u_old = w[:us.n_u]
+            w, rn, it = step(w, u_prev, ops)
+            u_prev = u_old
+            t += us.dt
+            times.append(t)
+            iters.append(int(it))
+            resid.append(float(rn))
+            if keep_history:
+                hist.append(np.asarray(w))
+            if callback is not None:
+                callback(k, t, w)
+        return UnsteadyResult(w=w, times=times, linear_iters=iters,
+                              step_res=resid,
+                              wall_time=time.perf_counter() - t0,
+                              history=hist)
+
     def step(self, w, *, picard_iters: int = 1, rtol: float = 1e-6,
              u_prev=None):
         us, sp = self.us, self.sp

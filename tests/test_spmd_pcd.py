@@ -588,3 +588,47 @@ def test_fused_spmd_step_newton(setup):
     # Newton contraction preserved
     r = out.nonlinear_res
     assert r[1] < 0.35 * r[0], r
+
+
+@pytest.mark.parametrize("scheme", ["theta", "bdf2"])
+def test_fused_spmd_unsteady_matches_host_loop(scheme):
+    """The fused one-program-per-step SPMD time step reproduces the
+    host-loop SPMD stepper's trajectory (picard_iters=1 semantics) for
+    both schemes, including the BDF2 u_prev threading."""
+    from fenapack_tpu.solvers.unsteady import UnsteadySolver
+    from fenapack_tpu.parallel.spmd_pcd import SPMDUnsteadySolver
+
+    hier = gmg.build_hierarchy(meshmod.channel_mesh(0, length=2.0), 1)
+    asm = NSAssembler(hier.fine, 0.1, dtype=jnp.float64, reorder=True)
+
+    def poiseuille(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], poiseuille)]
+    cfg = overrides(SolverConfig(), {"pcd.variant": "BRM2",
+                                     "dtype": "float64",
+                                     "krylov.rtol": 1e-8,
+                                     "krylov.maxiter": 100})
+    dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
+    ph = gmg.PressureHierarchy(hier, jnp.float64,
+                               pcd_markers=[meshmod.OUTFLOW])
+    ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                             smooth_iters=2, cycles=2)
+
+    def build():
+        us = UnsteadySolver(asm, bcs, cfg, dt=0.25, scheme=scheme)
+        return SPMDUnsteadySolver(us, dmesh, ap_gmg=ap_gmg,
+                                  cheb_velocity_iters=10, maxiter=100,
+                                  rtol_lin=1e-8)
+
+    ref = build().solve(t_end=1.0, picard_iters=1)
+    out = build().solve_fused(t_end=1.0)
+    assert out.linear_iters == ref.linear_iters, (out.linear_iters,
+                                                  ref.linear_iters)
+    assert np.allclose(np.asarray(out.w), np.asarray(ref.w), atol=1e-9), \
+        np.abs(np.asarray(out.w) - np.asarray(ref.w)).max()
+    assert np.allclose(out.step_res, ref.step_res, rtol=1e-8)
