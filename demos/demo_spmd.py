@@ -37,17 +37,14 @@ def main():
                     help="linearization for the ring-path nonlinear solve")
     ap.add_argument("--fused", action="store_true",
                     help="ring path: ONE device program per nonlinear step "
-                         "(device-side operand re-binding; requires the "
-                         "minres velocity subsolve, i.e. not --supg)")
+                         "(device-side operand re-binding, incl. the "
+                         "velocity-GMG levels)")
     args = ap.parse_args()
     if args.supg and args.nls == "newton":
         ap.error("--supg stabilizes with the LAGGED (Picard) operator; the "
                  "Newton reaction is not the Jacobian of the stabilized "
                  "residual, so Newton loses superlinearity — use "
                  "--nls picard for high-Re runs (as the reference does)")
-    if args.supg and args.fused:
-        ap.error("--fused requires the minres velocity subsolve (the "
-                 "velocity-GMG operands re-bind on host)")
 
     if "xla_force_host_platform_device_count" not in os.environ.get(
             "XLA_FLAGS", ""):
@@ -160,7 +157,8 @@ def main():
                                       maxiter=maxiter, rtol_lin=1e-6)
             w0 = pic.solve(max_steps=2, rtol=0.0).w
         if args.fused:
-            out = snl.solve_fused(w0=w0, rtol=1e-5, max_steps=15)
+            out = snl.solve_fused(w0=w0, rtol=1e-5, max_steps=15,
+                                  damping=0.7 if args.supg else 1.0)
         else:
             out = snl.solve(w0=w0, rtol=1e-5, max_steps=15,
                             damping=0.7 if args.supg else 1.0)

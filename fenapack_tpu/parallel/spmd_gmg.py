@@ -518,6 +518,139 @@ class SPMDVelocityGMG:
         return specs
 
     # ---------------------------------------------------------------- #
+    def _bind_maps(self, l):
+        """Lazy NUMPY index maps for the jit-safe :meth:`bind_operands`
+        (numpy, never tracers — see SPMDPCDSolver._dev_maps)."""
+        lvd = self.lv[l]
+        m = lvd.get("_bind")
+        if m is not None:
+            return m
+        d, n_dev = self.d, self.n_dev
+        n2, n_pad, loc = lvd["n2"], lvd["n_pad"], lvd["loc"]
+        udm_src = np.empty(d * n_pad, dtype=np.int64)
+        for a in range(d):
+            j = np.arange(n_pad)
+            dev = j // loc
+            udm_src[dev * d * loc + a * loc + (j - dev * loc)] = \
+                a * n_pad + j
+        m = dict(inv=lvd["inv"], used_inv=lvd["used"][lvd["inv"]],
+                 diag_pos=lvd["diag_pos"], mask_s=lvd["mask_s"],
+                 udm_src=udm_src)
+        if l == 0:
+            pat = lvd["asm"].pat_p2
+            rk = lvd["rank"]
+            urow, ucol = np.asarray(pat._urow), np.asarray(pat._ucol)
+            keep = (urow < n2) & (ucol < n2)
+            m.update(upos=np.asarray(pat._upos)[keep],
+                     rr=rk[urow[keep]], cc=rk[ucol[keep]])
+        lvd["_bind"] = m
+        return m
+
+    def bind_operands(self, wind_fine_nat, ops):
+        """Jit-safe re-binding of the wind-dependent vgmg operands —
+        the device-side mirror of :meth:`build_operands` for fused SPMD
+        steps.  Level ring values, Jacobi diagonals, Newton reaction
+        planes, and the replicated dense coarse inverse are all recomputed
+        on device; cols/masks/transfers are reused from ``ops``.
+
+        Caveat (untested on the axon TPU service): the coarse
+        ``jnp.linalg.inv`` lowering at f64 may hit the same compile-service
+        pathology as tall f64 QR/eigh — if it does, keep the host
+        :meth:`build_operands` path for chip runs.
+        """
+        d, dt = self.d, self.dtype
+        ops = dict(ops)
+        levels = list(ops["levels"])
+        wl = wind_fine_nat.astype(dt)
+        wind_c = None
+        for l in reversed(range(len(self.lv))):
+            lvd = self.lv[l]
+            asm = lvd["asm"]
+            n2, n_pad = lvd["n2"], lvd["n_pad"]
+            bm = self._bind_maps(l)
+            if l < len(self.lv) - 1:
+                wl = wind_c
+            if l > 0:
+                nc = self.vh.transfers[l - 1].n_coarse
+                wind_c = jnp.concatenate(
+                    [wl[a * n2:a * n2 + nc] for a in range(d)])
+            A1 = asm.picard_matrix_values(wl).astype(dt)
+            if self.theta != 1.0 or self.inv_dt != 0.0:
+                M2 = asm.const.M2
+                M2v = (M2.vals if M2 is not None
+                       else asm.mass2_values()).astype(dt).reshape(A1.shape)
+                A1 = self.theta * A1 + self.inv_dt * M2v
+            if self.supg:
+                A1 = A1 + asm.supg_values(wl).astype(dt).reshape(A1.shape)
+            A1 = A1.reshape(lvd["used"].shape)
+            K = lvd["used"].shape[1]
+            nv = jnp.zeros((n_pad, K), dt)
+            nv = nv.at[:n2].set(jnp.where(bm["used_inv"],
+                                          A1[bm["inv"]], 0.0))
+            nv = nv.at[n2:, 0].set(1.0)
+            dnat = A1.reshape(-1)[bm["diag_pos"]]
+            diag = jnp.ones(n_pad, dt).at[:n2].set(dnat[bm["inv"]])
+            m = bm["mask_s"]
+            R = None
+            if self.newton:
+                R = asm.newton_reaction_values(wl)
+                if self.theta != 1.0:
+                    R = self.theta * R
+                Rpk = jnp.zeros((n_pad, d * d * K), dt)
+                for a in range(d):
+                    for bb in range(d):
+                        Rab = R[a, bb].astype(dt).reshape(lvd["used"].shape)
+                        Rpk = Rpk.at[
+                            :n2, (a * d + bb) * K:(a * d + bb + 1) * K].set(
+                            jnp.where(bm["used_inv"], Rab[bm["inv"]], 0.0))
+            if R is not None:
+                comps = []
+                for a in range(d):
+                    da = diag.at[:n2].add(
+                        (R[a, a].astype(dt).reshape(-1)[
+                            bm["diag_pos"]])[bm["inv"]])
+                    da = jnp.where(m > 0, 1.0, jnp.where(da != 0, da, 1.0))
+                    comps.append(1.0 / da)
+                dinv = jnp.concatenate(comps)[bm["udm_src"]]
+            else:
+                dg = jnp.where(m > 0, 1.0, jnp.where(diag != 0, diag, 1.0))
+                dinv = jnp.concatenate([1.0 / dg] * d)[bm["udm_src"]]
+            old = levels[l]
+            entry = [nv, old[1], dinv, old[3]]
+            if R is not None:
+                entry.append(Rpk)
+            levels[l] = tuple(entry)
+            if l == 0:
+                free = 1.0 - m
+
+                def dense_of(flat_vals):
+                    Ar = jnp.zeros((n_pad, n_pad), dt)
+                    return Ar.at[bm["rr"], bm["cc"]].add(
+                        flat_vals.reshape(-1)[bm["upos"]].astype(dt))
+
+                Ar = dense_of(A1)
+                Ar = Ar.at[jnp.arange(n2, n_pad),
+                           jnp.arange(n2, n_pad)].set(1.0)
+                with jax.default_matmul_precision("highest"):
+                    if R is None:
+                        Am = (free[:, None] * Ar * free[None, :]
+                              + jnp.diag(m.astype(dt)))
+                        Ainv = jnp.linalg.inv(Am)
+                    else:
+                        blocks = [[Ar + dense_of(R[a, a]) if a == bb
+                                   else dense_of(R[a, bb])
+                                   for bb in range(d)] for a in range(d)]
+                        A_full = jnp.block(blocks)
+                        m_full = jnp.concatenate([m.astype(dt)] * d)
+                        f_full = 1.0 - m_full
+                        A_full = (f_full[:, None] * A_full * f_full[None, :]
+                                  + jnp.diag(m_full))
+                        Ainv = jnp.linalg.inv(A_full)
+                ops["coarse_inv"] = Ainv
+        ops["levels"] = levels
+        return ops
+
+    # ---------------------------------------------------------------- #
     # shard-local bodies (vectors: (d*loc,) per level)
     # ---------------------------------------------------------------- #
     def _mv(self, l, lops, x_loc):

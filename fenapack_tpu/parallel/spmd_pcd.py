@@ -664,14 +664,9 @@ class SPMDPCDSolver:
 
     def bind_operands(self, wind_asm, ops):
         """Jit-safe re-binding of the wind-dependent ``ops`` entries
-        (a1/kp/R ring values + the Jacobi diagonal) on DEVICE — the
-        fused-step replacement for the host :meth:`build_operands` after
-        the template has been built once.  Velocity-GMG operand re-binding
-        still goes through the host path."""
-        if self.velocity_gmg is not None:
-            raise NotImplementedError(
-                "device-side re-binding with a velocity GMG: rebuild via "
-                "build_operands (host) instead")
+        (a1/kp/R ring values + the Jacobi diagonal + velocity-GMG levels)
+        on DEVICE — the fused-step replacement for the host
+        :meth:`build_operands` after the template has been built once."""
         oseen, asm, dt = self.oseen, self.asm, self.dtype
         rings = self._rings
         if rings is None or rings.get("a1") is None:
@@ -703,6 +698,16 @@ class SPMDPCDSolver:
             comps.append(da)
         up = jnp.concatenate(comps)
         ops["a1_dinv"] = (1.0 / up)[m["udm_src"]]
+        if self.velocity_gmg is not None:
+            # bridge to the vgmg's NATURAL ordering (see build_operands)
+            rank = (np.asarray(asm.W.V.rank)
+                    if getattr(asm.W.V, "rank", None) is not None
+                    else np.arange(n2r))
+            wind_nat = jnp.concatenate(
+                [wind[a * asm.n2: a * asm.n2 + n2r][rank]
+                 for a in range(self.d)])
+            ops["vgmg"] = self.velocity_gmg.bind_operands(wind_nat,
+                                                          ops["vgmg"])
         return ops
 
 
@@ -748,22 +753,18 @@ class SPMDNonlinearSolver:
         host loop of :meth:`solve` dispatches ~4 programs and fetches
         full vectors through the host every step (``np.asarray`` on F and
         x); on a remote-attached TPU pod those round-trips dominate small-
-        step costs.  Requires the minres velocity subsolve
-        (``velocity_gmg=None`` — GMG operands still re-bind on host).
+        step costs.
 
         Returns ``(step, ops)`` with jitted
-        ``step(w, ops) -> (w_new, |F|, iters)``.
+        ``step(w, ops, damping) -> (w_new, |F|, iters)``.
         """
         nl, sp = self.nl, self.sp
-        if sp.velocity_gmg is not None:
-            raise NotImplementedError(
-                "fused SPMD step requires velocity_gmg=None")
         n_u = nl.n_u
         ops0 = sp.build_operands(nl.initial_state()[:n_u])  # template
         run = sp._make_run(ops0)
         resid = nl._residual
 
-        def step(w, ops):
+        def step(w, ops, damping):
             F = resid(w)
             rn = jnp.linalg.norm(F)
             b = sp.pack_dev(-F[:n_u], -F[n_u:])
@@ -771,12 +772,12 @@ class SPMDNonlinearSolver:
             x, k, _ = run(ops2, b)
             du, dp = sp.unpack_dev(x)
             dw = jnp.concatenate([du, dp]).astype(w.dtype)
-            return w + dw, rn, k
+            return w + damping * dw, rn, k
 
         return jax.jit(step), ops0
 
     def solve_fused(self, w0=None, rtol: float = 1e-5, atol: float = 0.0,
-                    max_steps: int = 25):
+                    max_steps: int = 25, damping: float = 1.0):
         """:meth:`solve` over the fused one-call-per-step path."""
         import time
         from ..solvers.nonlinear import NonlinearResult
@@ -790,8 +791,9 @@ class SPMDNonlinearSolver:
         res_hist, lin_iters = [], []
         r0 = None
         converged = False
+        damp = jnp.asarray(damping, w.dtype)
         for _ in range(max_steps):
-            w_new, rn, k = step(w, ops)
+            w_new, rn, k = step(w, ops, damp)
             rn = float(rn)
             res_hist.append(rn)
             if r0 is None:
@@ -873,8 +875,7 @@ class SPMDUnsteadySolver:
         """ONE device program per time step (semi-implicit, as
         ``step(picard_iters=1)``): residual + device-side operand
         re-binding + the sharded solve + update — the SPMD analogue of
-        ``UnsteadySolver.make_step_ir``.  Requires the minres velocity
-        subsolve (``velocity_gmg=None``).
+        ``UnsteadySolver.make_step_ir``.
 
         Returns ``(step, ops)`` with jitted
         ``step(w, u_prev, ops) -> (w_new, |F|, iters)``; ``u_prev`` is the
@@ -882,9 +883,6 @@ class SPMDUnsteadySolver:
         ``w[:n_u]``).
         """
         us, sp = self.us, self.sp
-        if sp.velocity_gmg is not None:
-            raise NotImplementedError(
-                "fused SPMD unsteady step requires velocity_gmg=None")
         n_u = us.n_u
         bdf2 = us.scheme == "bdf2"
         ops0 = sp.build_operands(us.initial_state()[:n_u])  # template

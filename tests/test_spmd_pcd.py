@@ -632,3 +632,43 @@ def test_fused_spmd_unsteady_matches_host_loop(scheme):
     assert np.allclose(np.asarray(out.w), np.asarray(ref.w), atol=1e-9), \
         np.abs(np.asarray(out.w) - np.asarray(ref.w)).max()
     assert np.allclose(out.step_res, ref.step_res, rtol=1e-8)
+
+
+def test_fused_spmd_step_velocity_gmg_supg():
+    """Fused SPMD step with the velocity GMG + SUPG (high-Re config):
+    device-side re-binding of the per-level ring values, Jacobi diagonals,
+    and the dense coarse inverse must reproduce the host build exactly."""
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
+    from fenapack_tpu.parallel.spmd_gmg import SPMDVelocityGMG
+
+    nu = 1e-3
+    hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), 1)
+    asm = NSAssembler(hier.fine, nu, dtype=jnp.float64, reorder=True)
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], step_inflow)]
+    cfg = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64",
+        "krylov.rtol": 1e-6, "krylov.maxiter": 400,
+        "system_supg": True})
+    nl = NonlinearSolver(asm, bcs, cfg)
+    dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
+    ph = gmg.PressureHierarchy(hier, jnp.float64,
+                               pcd_markers=[meshmod.OUTFLOW])
+    ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                             smooth_iters=2, cycles=2)
+    vh = gmg.VelocityHierarchy(hier, nu, jnp.float64,
+                               bc_markers=[meshmod.WALL, meshmod.INFLOW])
+    vgmg = SPMDVelocityGMG(vh, dmesh, dtype=jnp.float64, smooth_iters=4,
+                           cycles=2, supg=True)
+    snl = SPMDNonlinearSolver(nl, dmesh, ap_gmg=ap_gmg, velocity_gmg=vgmg,
+                              maxiter=400, rtol_lin=1e-6)
+
+    steps = 3
+    ref = snl.solve(max_steps=steps, rtol=0.0, damping=0.7)
+    out = snl.solve_fused(max_steps=steps, rtol=0.0, damping=0.7)
+    assert out.linear_iters == ref.linear_iters, (out.linear_iters,
+                                                  ref.linear_iters)
+    assert np.allclose(out.nonlinear_res, ref.nonlinear_res, rtol=1e-9), \
+        (out.nonlinear_res, ref.nonlinear_res)
+    assert np.allclose(np.asarray(out.w), np.asarray(ref.w), atol=1e-8)
