@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--length", type=float, default=3.0)
     ap.add_argument("--stages", default="mv,pcd,vgmg,fgmres,ir")
     ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--block", type=int, default=32,
+                    help="tile size (8 cuts operator-set HBM 2.7x at 761k "
+                         "— scripts/block_fill_audit.py)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +44,7 @@ def main():
         mesh3d.backward_step_mesh3d(0, length=args.length), args.level)
     mesh = hier.fine
     asm = NSAssembler(mesh, 0.05, dtype=jnp.float64, quad_degree=4,
-                      block_size=32, block_dtype=jnp.float32)
+                      block_size=args.block, block_dtype=jnp.float32)
 
     def inflow(x):
         v = np.zeros((x.shape[0], 3))
@@ -58,10 +61,10 @@ def main():
             "krylov.rtol": 2e-6, "krylov.maxiter": args.maxiter}
     ap_h = gmg.PressureHierarchy(hier, jnp.float32,
                                  pcd_markers=[meshmod.OUTFLOW],
-                                 block_size=32, reorder=True, fine_asm=asm)
+                                 block_size=args.block, reorder=True, fine_asm=asm)
     v_h = gmg.VelocityHierarchy(hier, 0.05, jnp.float32,
                                 bc_markers=[meshmod.WALL, meshmod.INFLOW],
-                                fine_asm=asm, block_size=32)
+                                fine_asm=asm, block_size=args.block)
     cfg = overrides(SolverConfig(), over)
     nl = NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ap_h,
                          velocity_hierarchy=v_h)

@@ -32,6 +32,16 @@ timeout 10800 python demos/demo_step3d.py -l 3 --dtype float32 \
     > "$LOG/step3d_761k.log" 2>&1
 rc=$?
 note "761k exit=$rc $(tail -2 "$LOG/step3d_761k.log" | tr '\n' ' ')"
+if ! grep -qi "converged" "$LOG/step3d_761k.log"; then
+    # HBM-fill fallback: b=8 tiles cut the operator set 1.6 -> 0.6 GB at
+    # 761k (scripts/block_fill_audit.py) — retry in case the worker crash
+    # is memory-pressure-shaped
+    note "stage 3 retry: b=8 tiles"
+    timeout 10800 python demos/demo_step3d.py -l 3 --dtype float32 \
+        --block 8 > "$LOG/step3d_761k_b8.log" 2>&1
+    note "761k b8 exit=$? $(tail -2 "$LOG/step3d_761k_b8.log" | tr '\n' ' ')"
+    cp "$LOG/step3d_761k_b8.log" "$LOG/step3d_761k.log"
+fi
 
 if grep -qi "converged" "$LOG/step3d_761k.log"; then
     note "stage 4: 2M config-4 (length=9)"
