@@ -19,14 +19,20 @@ def test_pallas_ell_spmv_matches_xla():
     assert err < 1e-12, err
 
 
-def test_bsr_kernel_interpret_matches_blockell():
+import pytest
+
+
+@pytest.mark.parametrize("block", [8, 16, 32])
+def test_bsr_kernel_interpret_matches_blockell(block):
+    """Tile-size-generic: b=8 is the 3D HBM-fallback layout (the campaign
+    retries 761k/2M runs at b=8 — scripts/block_fill_audit.py)."""
     import numpy as np
     import jax.numpy as jnp
     from fenapack_tpu.ops.sparse import pattern_from_dofmaps
     from fenapack_tpu.ops.pallas_spmv import PallasBSRSpMV
     rng = np.random.default_rng(0)
     cd = rng.integers(0, 512, size=(400, 6)).astype(np.int64)
-    pat = pattern_from_dofmaps(cd, cd, 512, 512, block=32)
+    pat = pattern_from_dofmaps(cd, cd, 512, 512, block=block)
     vals = rng.standard_normal((400, 6, 6)).astype(np.float32)
     op = pat.assemble(jnp.asarray(vals))
     x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
