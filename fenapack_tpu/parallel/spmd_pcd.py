@@ -725,8 +725,9 @@ class SPMDNonlinearSolver:
 
     Picard vs Newton follows the wrapped solver's ``linearization`` (as in
     the reference, the same loop runs both — Newton adds the (d, d)
-    reaction rings).  Newton currently requires the minres velocity
-    subsolve (``velocity_gmg=None``).
+    reaction rings).  With a velocity GMG, construct it as
+    ``SPMDVelocityGMG(..., newton=True)`` so the levels carry the
+    reaction coupling.
     """
 
     def __init__(self, nl, device_mesh: Mesh = None, *, axis: str = "dd",
