@@ -179,6 +179,40 @@ class SPMDPCDSolver:
         mp_diag[self.n1r:] = 1.0
         self.mp_dinv_dm = jnp.asarray(1.0 / mp_diag, dt)
 
+        # Ap fallback (no GMG hierarchy supplied): Jacobi-Chebyshev on a
+        # ring operator — the sharded analogue of pcd.ap.method="chebyshev".
+        # Keeps small/validation problems and the driver dryrun on the SAME
+        # code shape as production instead of hard-requiring ap_gmg.
+        if ap_gmg is None:
+            self.ap_ring = _FieldRing(c.Ap, self.n1r, self.n1p, self.n1r,
+                                      self.n1p, n_dev, axis, dt,
+                                      diag_identity_pad=True)
+            ap_diag = np.ones(self.n1p)
+            ap_diag[:self.n1r] = np.asarray(
+                c.Ap.diag_from(asm.pat_p1.diag_pos))[:self.n1r]
+            # masked rows (PCD Dirichlet + padding) act as identity
+            ap_diag = np.where(np.asarray(self.mask_p_dm) > 0, 1.0, ap_diag)
+            self.ap_dinv_dm = jnp.asarray(1.0 / ap_diag, dt)
+            ap_cfg = oseen.config.pcd.ap
+            if ap_cfg.bounds is not None:
+                self._ap_bounds = tuple(ap_cfg.bounds)
+            else:
+                # setup-time host power iteration on the SEQUENTIAL masked
+                # operator: the ring-local operator is the same matrix with
+                # identity on masked rows, so the Jacobi-scaled spectrum
+                # coincides (layout-independent)
+                ap_mask_seq = oseen._union(
+                    oseen.pcd_mask if oseen.has_pcd_bcs else None,
+                    oseen.p_pad)
+                op0 = c.Ap.with_vals(c.Ap.vals.astype(dt))
+                diag0 = c.Ap.diag_from(asm.pat_p1.diag_pos).astype(dt)
+                if ap_mask_seq is not None:
+                    diag0 = jnp.where(ap_mask_seq > 0, 1.0, diag0)
+                mv0 = oseen._masked_spd_matvec(op0, ap_mask_seq)
+                self._ap_bounds = subsolve.power_bounds(
+                    mv0, 1.0 / diag0, c.Ap.shape[0], dtype=dt)
+            self._ap_iters = oseen.config.pcd.ap.iters
+
         # divergence / gradient rings (rectangular)
         self.D_rings = [
             _FieldRing(c.D[a], self.n1r, self.n1p, self.n2r, self.n2p,
@@ -365,6 +399,9 @@ class SPMDPCDSolver:
                 np.concatenate([
                     wind_np[a * asm.n2: a * asm.n2 + self.n2r][rank]
                     for a in range(self.d)]))
+        if self.ap_gmg is None:
+            ops["ap"] = tuple(put(x) for x in self.ap_ring.operands())
+            ops["ap_dinv"] = put(self.ap_dinv_dm)
         if self.ap_gmg is not None:
             ops["gmg"] = self.ap_gmg.sharded_operands()
             ops["gmg_from_asm"] = jax.device_put(self._gmg_from_asm,
@@ -531,7 +568,23 @@ class SPMDPCDSolver:
                 # padding slots map to gmg slot 0: zero them out
                 return (1.0 - p_pad) * e_full[idx2]
         else:
-            raise NotImplementedError("SPMD PCD requires ap_gmg")
+            # Chebyshev-Ap fallback (same masked-ring shape as mp_solve);
+            # chebyshev has no inner products, so it is shard-local-safe
+            apv, apc = ops_loc["ap"]
+            ap_dinv = ops_loc["ap_dinv"]
+            ap_ring = self.ap_ring.ring
+            ap_lmin, ap_lmax = self._ap_bounds
+            ap_iters = self._ap_iters
+
+            def ap_solve(r_loc):
+                free_ap = 1.0 - mask_p
+
+                def ap_mv(x):
+                    y = ap_ring.mv_local(apv, apc, free_ap * x)
+                    return free_ap * y + mask_p * x
+                ch = subsolve.chebyshev_solver(ap_mv, ap_dinv, ap_lmin,
+                                               ap_lmax, ap_iters)
+                return free_ap * ch(r_loc)
 
         variant = self.oseen.config.pcd.variant
         free_p = 1.0 - mask_p
@@ -862,6 +915,12 @@ class SPMDUnsteadySolver:
                  velocity_gmg=None, cheb_velocity_iters: int = 8,
                  maxiter: int = 60, rtol_lin: float = 1e-6,
                  spmd_solver: Optional[SPMDPCDSolver] = None):
+        if getattr(us, "bc_fn", None) is not None:
+            raise ValueError(
+                "time-dependent BCs (bc_fn) need the exact host-loop path "
+                "(UnsteadySolver.solve); the fused SPMD step bakes the t=0 "
+                "BC values into the traced program and every later step "
+                "would silently reuse them")
         self.us = us
         if spmd_solver is not None:
             self.sp = spmd_solver

@@ -14,8 +14,10 @@ Reference lifecycle parity (``PCDForm`` flags): forms without coefficients
 forms (``J``, ``kp``, ``fp``) are re-assembled as pure jit value updates at
 every nonlinear iteration.  The ``fp`` form enables the non-factored PCD
 applies ``-Mp^{-1} Fp Ap^{-1}`` (BRM1) / ``-Ap^{-1} Fp Mp^{-1}`` (BRM2).
-``gp`` (pressure-gradient form) is accepted for API parity and exposed via
-:meth:`PCDAssembler.gp`.
+``gp`` (pressure-gradient form) follows the reference's B^T-from-form
+semantics: when given, the fieldsplit's gradient application uses the
+operator assembled from ``gp`` instead of the system matrix's up-block
+(constant lifecycle — assembled once at construction).
 """
 from __future__ import annotations
 
@@ -181,6 +183,16 @@ class PCDKrylovSolver:
                          else None)
         self._nullspace = not self.has_pcd_bcs
 
+        # gp (B^T-from-form, reference fenapack/assembling.py gp semantics):
+        # when given, the FIELDSPLIT's gradient application z_u =
+        # A^{-1}(r_u - B^T z_p) uses the operator assembled from the user's
+        # gp form instead of the system matrix's up-block — the PC can then
+        # differ from J (e.g. J carries stabilization terms that should not
+        # enter the Schur composition).  Constant lifecycle: assembled once.
+        gp_vals = assembler.gp()
+        self._gp_op = (fc.pattern("u", "p").matrix(gp_vals.astype(dt))
+                       if gp_vals is not None else None)
+
         # constant pressure subsolves (built once)
         self._lift_refs = []      # Holders of dense inverses (lift_jit)
         self._ap_solve = self._spd_solver(
@@ -333,10 +345,13 @@ class PCDKrylovSolver:
         matvec, Auu = self._block_matvec(blocks)
         a_solve = self._velocity_solver(Auu, self.asm.pc_matrix(x_lin))
         schur = self._pcd_apply(x_lin)
-        Aup = self.asm.fc.pattern("u", "p").matrix(
-            blocks["up"].astype(self.dtype))
+        if self._gp_op is not None:
+            bt_mv = self._gp_op.mv       # B^T from the user's gp form
+        else:
+            bt_mv = self.asm.fc.pattern("u", "p").matrix(
+                blocks["up"].astype(self.dtype)).mv
         pc = make_fieldsplit_upper(self.n_u, a_solve, schur,
-                                   Aup.mv, self.free_u)
+                                   bt_mv, self.free_u)
         return fgmres(matvec, pc, b, maxiter=cfg.krylov.maxiter,
                       rtol=cfg.krylov.rtol, atol=cfg.krylov.atol)
 

@@ -183,15 +183,34 @@ class UnsteadySolver:
         return w.at[:self.n_u].set(
             self.oseen.bc_mask_u * jnp.asarray(vals, self.oseen.dtype))
 
+    def _require_static_bcs(self, path: str):
+        """The fused-step/whole-horizon programs bake BC values in at trace
+        time: their residual assumes ``u_old == u`` at BC dofs, so a
+        ``bc_fn`` would silently be frozen at its t=0 values."""
+        if self.bc_fn is not None:
+            raise ValueError(
+                f"time-dependent BCs (bc_fn) need the exact host-loop path: "
+                f"use solve(), not {path}(); the fused residual assumes "
+                f"u_old == u at BC dofs and would drop the Dirichlet-lift "
+                f"mass term (freezing the t=0 BC values)")
+
     def _bc_values_at(self, t: float) -> np.ndarray:
         """Evaluate ``bc_fn(t)`` to a full (n_u,) velocity-values array."""
         from ..fem.dofmap import DirichletBC as _DBC, merge_bcs as _merge
         out = self.bc_fn(t)
+        if isinstance(out, _DBC):
+            out = [out]
         if isinstance(out, (list, tuple)) and (not out or
                                                isinstance(out[0], _DBC)):
             _, vals = _merge(out, self.n_u)
             return vals
-        return np.asarray(out)
+        vals = np.asarray(out)
+        if vals.shape != (self.n_u,):
+            raise TypeError(
+                f"bc_fn(t) must return a DirichletBC, a sequence of "
+                f"DirichletBC, or a ready (n_u,)=({self.n_u},) velocity-"
+                f"values array; got array of shape {vals.shape}")
+        return vals
 
     def apply_bc_values(self, w: jnp.ndarray, bc_vals) -> jnp.ndarray:
         """Overwrite constrained velocity dofs of ``w`` with new Dirichlet
@@ -272,6 +291,7 @@ class UnsteadySolver:
         at step k stays effective at step k+1 — the time-stepping analogue
         of threading the space through Picard steps in the steady driver.
         """
+        self._require_static_bcs("make_step_ir")
         # cache the lifted wrapper: a fresh one per call would retrace (and
         # re-compile, minutes on the remote axon compile service) the whole
         # fused program on every solve_fused invocation
@@ -312,6 +332,7 @@ class UnsteadySolver:
         deflating across time steps.
         """
         import jax.lax as lax
+        self._require_static_bcs("make_full_unsteady")
         key = ("full", n_steps, rtol_lin, max_rounds)
         hit = self._jit_cache.get(key)
         if hit is not None:

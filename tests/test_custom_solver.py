@@ -22,7 +22,7 @@ from fenapack_tpu.solvers.custom import (PCDAssembler, PCDKrylovSolver,
 NU = 0.02
 
 
-def build_problem(variant="BRM2", use_fp=False):
+def build_problem(variant="BRM2", use_fp=False, gp_scale=None):
     mesh = meshmod.backward_step_mesh(0)
     W = TaylorHood(mesh)
     (u, p) = F.TrialFunctions(W)
@@ -64,7 +64,12 @@ def build_problem(variant="BRM2", use_fp=False):
     marker = meshmod.INFLOW if variant == "BRM1" else meshmod.OUTFLOW
     bcs_pcd = [DirichletBC.pressure(W, [marker])]
 
-    asm = PCDAssembler(J, L, bcs, mp=mp, ap=ap, kp=kp, fp=fp,
+    gp = None
+    if gp_scale is not None:
+        # B^T-from-form: the pressure-gradient form matching J's up-block
+        # (scale 1.0 must reproduce the submatrix path exactly)
+        gp = gp_scale * (-1.0) * p * F.div(v) * F.dx
+    asm = PCDAssembler(J, L, bcs, mp=mp, ap=ap, kp=kp, fp=fp, gp=gp,
                        bcs_pcd=bcs_pcd, w=w)
     cfg = overrides(SolverConfig(), {"pcd.variant": variant,
                                      "krylov.rtol": 1e-8})
@@ -90,6 +95,29 @@ def test_custom_forms_match_golden_counts(variant, golden):
     assert len(iters) == ref["nonlinear_steps"] - 1 or \
         len(iters) == ref["nonlinear_steps"]
     assert sum(iters) <= 1.1 * ref["total"]
+
+
+def test_gp_form_is_wired(golden):
+    """gp (B^T-from-form): supplying the exact pressure-gradient form must
+    reproduce the submatrix path's golden counts, and a wrong-scale gp must
+    visibly change the preconditioner — proving gp actually feeds the
+    fieldsplit rather than being dead API (reference
+    fenapack/assembling.py gp semantics)."""
+    ref = golden["step2d/l0/BRM2/picard"]
+
+    solver = build_problem("BRM2", gp_scale=1.0)
+    assert solver._gp_op is not None
+    newton = PCDNewtonSolver(solver)
+    _, _, iters, converged = newton.solve(rtol=1e-5, max_steps=15)
+    assert converged
+    assert sum(iters) <= 1.1 * ref["total"]
+
+    # a deliberately wrong B^T (sign-flipped) must degrade the PC: if these
+    # counts matched, gp would not actually be in the apply path
+    bad = build_problem("BRM2", gp_scale=-1.0)
+    newton_bad = PCDNewtonSolver(bad)
+    _, _, iters_bad, _ = newton_bad.solve(rtol=1e-5, max_steps=4)
+    assert sum(iters_bad[:3]) > 1.3 * sum(iters[:3])
 
 
 def test_custom_fp_form_converges(golden):

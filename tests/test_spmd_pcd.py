@@ -297,6 +297,36 @@ def test_spmd_unsteady_theta_scheme(setup):
     assert rel < 5e-6, rel
 
 
+def test_spmd_chebyshev_ap_fallback(setup):
+    """No ap_gmg: the Chebyshev-Ap ring fallback solves the same system
+    (small problems + the driver dryrun run the production code shape
+    without building a pressure hierarchy)."""
+    nl, _ = setup
+    oseen = nl.oseen
+    dmesh = Mesh(np.array(jax.devices("cpu")[:8]), ("dd",))
+    sp = SPMDPCDSolver(oseen, dmesh, cheb_velocity_iters=10,
+                       maxiter=200, rtol=1e-6)
+    # bounds were estimated at setup (no pcd.ap.bounds override in cfg)
+    lmin, lmax = sp._ap_bounds
+    assert 0 < lmin < lmax
+
+    w = nl.initial_state()
+    F = nl._residual(w)
+    ops = sp.build_operands(w[:nl.n_u])
+    b_dm = sp.pack(np.asarray(-F[:nl.n_u]), np.asarray(-F[nl.n_u:]))
+    x_dm, iters, rn = sp.solve(ops, b_dm)
+    iters = int(iters)
+    assert iters < sp.maxiter, f"SPMD FGMRES exhausted budget ({iters})"
+
+    xu, xp = sp.unpack(np.asarray(x_dm))
+    x = jnp.asarray(np.concatenate([xu, xp]))
+    A1vals, R = oseen._operator_values(w[:nl.n_u])
+    mv = oseen._matvec_factory(A1vals, R)
+    r_true = np.asarray(-F - mv(x))
+    rel = np.linalg.norm(r_true) / np.linalg.norm(np.asarray(F))
+    assert rel < 5e-6, rel
+
+
 def test_spmd_enclosed_cavity_nullspace():
     """Enclosed flow (lid-driven cavity, BRM2 = no pcd BCs): the SPMD
     Schur apply projects the constant pressure nullspace with psum'd
