@@ -221,6 +221,84 @@ def time_pcd_apply(nl, w, n_apply=200):
     return float(np.median(times) * 1e3 / n_apply)
 
 
+def _time_chain(fn, x0, n_apply=100, reps=5):
+    """Median per-apply latency of ``fn`` amortized over ``n_apply`` chained
+    applies inside ONE jit program (normalized each step so values stay
+    finite; excludes host/tunnel dispatch)."""
+
+    @jax.jit
+    def chain(x):
+        def body(x, _):
+            y = fn(x)
+            return y / jnp.linalg.norm(y), None
+        out, _ = jax.lax.scan(body, x, None, length=n_apply)
+        return out
+
+    chain(x0).block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        chain(x0).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3 / n_apply)
+
+
+def stage_breakdown(nl, w, wall_s, total_iters, n_apply=100):
+    """Per-outer-iteration device-time decomposition (VERDICT round-1 #2):
+    {outer matvec, full PC apply, velocity subsolve, PCD apply, B^T} each
+    timed in isolation; 'krylov_algebra_and_loop' is the unattributed
+    remainder (f64 CGS2 + Givens + while_loop bookkeeping + nonlinear-step
+    residual assembly amortized over its iterations)."""
+    oseen = nl.oseen
+    asm = nl.asm
+    dt_hi = jnp.dtype(asm.dtype)
+    rng = np.random.default_rng(1)
+    wind = w[:nl.n_u].astype(oseen.dtype)
+
+    hik = oseen.config.krylov.hi_krylov
+    # the outer matvec actually used per iteration: hi (df32/f64) under
+    # hi_krylov or hi_matvec, else the compute-precision one
+    A1h, Rh = oseen._operator_values_raw(w[:nl.n_u].astype(dt_hi), hi=True)
+    matvec_hi = oseen._matvec_factory(A1h, Rh, hi=True)
+    matvec_lo, pc = oseen._pipeline(wind)
+    outer_mv = (matvec_hi if (hik or oseen.config.krylov.hi_matvec)
+                else matvec_lo)
+    mv_dt = dt_hi if (hik or oseen.config.krylov.hi_matvec) else oseen.dtype
+
+    x_n = jnp.asarray(rng.standard_normal(oseen.n))
+    mv_ms = _time_chain(outer_mv, x_n.astype(mv_dt), n_apply)
+    pc_ms = _time_chain(pc, x_n.astype(oseen.dtype), n_apply)
+
+    # PC internals (sum ~= pc_ms; the difference is fieldsplit glue)
+    cfg = oseen.config
+    A1vals, R = oseen._operator_values(wind)
+    A1pc = A1vals
+    if cfg.jpc_supg and not cfg.system_supg:
+        A1pc = A1vals + asm.supg_values(wind).astype(oseen.dtype)
+    a_solve = oseen._velocity_solver(A1pc, R, wind=wind)
+    x_u = jnp.asarray(rng.standard_normal(nl.n_u), dtype=oseen.dtype)
+    vel_ms = _time_chain(a_solve, x_u, n_apply)
+    pcd_ms = time_pcd_apply(nl, w, n_apply)
+    # B^T maps p -> u (rectangular): keep the chain carry in p-space by
+    # folding the output back through its norm
+    x_p = jnp.asarray(rng.standard_normal(asm.n1), dtype=oseen.dtype)
+    bt_ms = _time_chain(
+        lambda p: p * (1.0 + jnp.linalg.norm(oseen._bt_mv(p))), x_p,
+        n_apply)
+
+    per_iter_ms = wall_s * 1e3 / max(total_iters, 1)
+    attributed = mv_ms + pc_ms
+    return {
+        "per_outer_iter_ms": round(per_iter_ms, 4),
+        "outer_matvec_ms": round(mv_ms, 4),
+        "pc_apply_ms": round(pc_ms, 4),
+        "pc_velocity_solve_ms": round(vel_ms, 4),
+        "pc_pcd_apply_ms": round(pcd_ms, 4),
+        "pc_bt_mv_ms": round(bt_ms, 4),
+        "krylov_algebra_and_loop_ms": round(per_iter_ms - attributed, 4),
+    }
+
+
 def main():
     level = int(os.environ.get("BENCH_LEVEL", "2"))
     variant = os.environ.get("BENCH_VARIANT", "BRM2")
@@ -253,6 +331,9 @@ def main():
         wall = time.perf_counter() - t0
 
     pcd_ms = time_pcd_apply(nl, w)
+    breakdown = None
+    if os.environ.get("BENCH_BREAKDOWN", "1") == "1":
+        breakdown = stage_breakdown(nl, w, wall, sum(iters))
 
     golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden_counts.json")
@@ -291,6 +372,7 @@ def main():
             "oracle_total_iters": golden_total,
             "final_nonlinear_res_rel": res[-1] / res[0] if res else None,
             "pcd_apply_ms": round(pcd_ms, 4),
+            "stage_breakdown": breakdown,
         },
     }))
 
