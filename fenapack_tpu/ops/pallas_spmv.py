@@ -130,37 +130,63 @@ def ell_spmv(ell, x, tile_r: int = 256, interpret: bool = False):
 # XLA cannot express (f32 inputs + f64-accurate accumulation: XLA's
 # preferred_element_type=f64 emulation measured 24 ms).
 
-def _bsr_kernel(nbr_ref, tiles_ref, x_ref, out_ref, g_ref):
+def _nbr_mode(nbr_bytes: int) -> str:
+    """SMEM strategy for the neighbor table.
+
+    ``prefetch`` (PrefetchScalarGridSpec) holds the WHOLE nbr array in SMEM
+    — chip-proven at 2D bench scale, but SMEM is ~1 MB and the 3D 761k-dof
+    nbr is 4.5 MB (b=32) / 15.5 MB (b=8): the compile fails with
+    "Allocation would exceed memory (space=smem)" — the root cause of the
+    round-1 '761k worker crash' (diagnosed 2026-08-19 from the b=8 compile
+    error).  ``blocked`` streams per-grid-step (R, m) SMEM slices instead
+    (the kernel only ever reads its own panel's rows), removing the scale
+    ceiling.  FENAPACK_BSR_SMEM: auto (by size) | blocked | prefetch.
+    """
+    import os
+    mode = os.environ.get("FENAPACK_BSR_SMEM", "auto")
+    if mode in ("blocked", "prefetch"):
+        return mode
+    return "prefetch" if nbr_bytes <= 512 * 1024 else "blocked"
+
+
+def _make_bsr_kernel(blocked: bool):
     """Scratch-row formulation: the gathered neighbor blocks are written
     into a VMEM scratch row ``g_ref`` (1, m*b) at static lane offsets, then
     the whole block-row product is ONE fused VPU multiply-reduce over the
     flat (b, m*b) tile.  (A 1D ``jnp.concatenate`` of the gathered pieces is
     not lowerable on this Mosaic: "input offsets outside of the first
-    tile".)"""
-    R, b, mb = tiles_ref.shape
-    m = mb // b
-    i = pl.program_id(0)
-    for r in range(R):                       # static unroll over panel rows
-        for j in range(m):
-            g_ref[0, j * b:(j + 1) * b] = (
-                x_ref[pl.ds(nbr_ref[i * R + r, j], 1), :][0])
-        out_ref[r, :] = jnp.sum(tiles_ref[r] * g_ref[:], axis=1)
+    tile".)  ``blocked``: nbr_ref is the per-step (R, m) SMEM slice;
+    otherwise the whole scalar-prefetched table."""
+
+    def kernel(nbr_ref, tiles_ref, x_ref, out_ref, g_ref):
+        R, b, mb = tiles_ref.shape
+        m = mb // b
+        base = 0 if blocked else pl.program_id(0) * R
+        for r in range(R):                   # static unroll over panel rows
+            for j in range(m):
+                g_ref[0, j * b:(j + 1) * b] = (
+                    x_ref[pl.ds(nbr_ref[base + r, j], 1), :][0])
+            out_ref[r, :] = jnp.sum(tiles_ref[r] * g_ref[:], axis=1)
+    return kernel
 
 
-def _bsr_kernel_accum(nbr_ref, tiles_ref, x_ref, out_ref):
+def _make_bsr_kernel_accum(blocked: bool):
     """Per-neighbor accumulation formulation: m static (b, b) column slices
     of the flat tile, each multiplied against its gathered x block and
     lane-reduced.  No scratch, no concatenate."""
-    R, b, mb = tiles_ref.shape
-    m = mb // b
-    i = pl.program_id(0)
-    for r in range(R):
-        acc = jnp.zeros((b,), out_ref.dtype)
-        for j in range(m):
-            xg = x_ref[pl.ds(nbr_ref[i * R + r, j], 1), :]      # (1, b)
-            t = tiles_ref[r, :, j * b:(j + 1) * b]              # (b, b)
-            acc = acc + jnp.sum(t * xg, axis=1)
-        out_ref[r, :] = acc
+
+    def kernel(nbr_ref, tiles_ref, x_ref, out_ref):
+        R, b, mb = tiles_ref.shape
+        m = mb // b
+        base = 0 if blocked else pl.program_id(0) * R
+        for r in range(R):
+            acc = jnp.zeros((b,), out_ref.dtype)
+            for j in range(m):
+                xg = x_ref[pl.ds(nbr_ref[base + r, j], 1), :]   # (1, b)
+                t = tiles_ref[r, :, j * b:(j + 1) * b]          # (b, b)
+                acc = acc + jnp.sum(t * xg, axis=1)
+            out_ref[r, :] = acc
+    return kernel
 
 
 class PallasBSRSpMV:
@@ -195,23 +221,43 @@ class PallasBSRSpMV:
             tiles = jnp.pad(tiles, ((0, self.nb_pad - nb), (0, 0), (0, 0)))
             nbr = jnp.pad(nbr, ((0, self.nb_pad - nb), (0, 0)))
             nb = self.nb_pad
+        blocked = _nbr_mode(nbr.size * 4) == "blocked"
         scratch = []
-        kernel = _bsr_kernel_accum
         if self.variant == "scratch":
-            kernel = _bsr_kernel
+            kernel = _make_bsr_kernel(blocked)
             scratch = [pltpu.VMEM((1, mb), tiles.dtype)]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb // R,),
-            in_specs=[
-                pl.BlockSpec((R, b, mb), lambda i, nbr: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # x whole
-            ],
-            out_specs=pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=scratch,
-        )
+        else:
+            kernel = _make_bsr_kernel_accum(blocked)
+        if blocked:
+            m = mb // b
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(nb // R,),
+                in_specs=[
+                    # per-step SMEM slice of the neighbor table
+                    pl.BlockSpec((R, m), lambda i: (i, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((R, b, mb), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # x whole
+                ],
+                out_specs=pl.BlockSpec((R, b), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            )
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb // R,),
+                in_specs=[
+                    pl.BlockSpec((R, b, mb), lambda i, nbr: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # x whole
+                ],
+                out_specs=pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            )
         # x64 semantics OFF around the trace: under global jax_enable_x64
         # the Mosaic lowering embeds i64 index arithmetic that crashes the
         # backend compiler (same bisect as DF32BlockSpMV; operands here are
@@ -279,27 +325,29 @@ def _comp_tree_rowsum(s):
     return jnp.sum(s, axis=1), err
 
 
-def _bsr_df32_kernel(nbr_ref, t1_ref, t2_ref, tl_ref,
-                     x1_ref, x2_ref, xl_ref,
-                     s_ref, c_ref, g1_ref, g2_ref, gl_ref):
-    R, b, mb = t1_ref.shape
-    m = mb // b
-    i = pl.program_id(0)
-    for r in range(R):
-        for j in range(m):
-            blk = pl.ds(nbr_ref[i * R + r, j], 1)
-            g1_ref[0, j * b:(j + 1) * b] = x1_ref[blk, :][0]
-            g2_ref[0, j * b:(j + 1) * b] = x2_ref[blk, :][0]
-            gl_ref[0, j * b:(j + 1) * b] = xl_ref[blk, :][0]
-        t1, t2, tl = t1_ref[r], t2_ref[r], tl_ref[r]
-        g1, g2, gl = g1_ref[:], g2_ref[:], gl_ref[:]
-        p0 = t1 * g1                               # exact
-        pm = t1 * g2 + t2 * g1 + t2 * g2           # exact products, ~2^-36 adds
-        q = (t1 + t2) * gl + tl * (g1 + g2)        # ~2^-24-relative terms
-        s, e = _twosum(p0, pm)                     # elementwise merge, exact
-        row, tree_err = _comp_tree_rowsum(s)
-        s_ref[r, :] = row
-        c_ref[r, :] = tree_err + jnp.sum(e + q, axis=1)
+def _make_bsr_df32_kernel(blocked: bool):
+    def kernel(nbr_ref, t1_ref, t2_ref, tl_ref,
+               x1_ref, x2_ref, xl_ref,
+               s_ref, c_ref, g1_ref, g2_ref, gl_ref):
+        R, b, mb = t1_ref.shape
+        m = mb // b
+        base = 0 if blocked else pl.program_id(0) * R
+        for r in range(R):
+            for j in range(m):
+                blk = pl.ds(nbr_ref[base + r, j], 1)
+                g1_ref[0, j * b:(j + 1) * b] = x1_ref[blk, :][0]
+                g2_ref[0, j * b:(j + 1) * b] = x2_ref[blk, :][0]
+                gl_ref[0, j * b:(j + 1) * b] = xl_ref[blk, :][0]
+            t1, t2, tl = t1_ref[r], t2_ref[r], tl_ref[r]
+            g1, g2, gl = g1_ref[:], g2_ref[:], gl_ref[:]
+            p0 = t1 * g1                             # exact
+            pm = t1 * g2 + t2 * g1 + t2 * g2         # exact products
+            q = (t1 + t2) * gl + tl * (g1 + g2)      # ~2^-24-relative terms
+            s, e = _twosum(p0, pm)                   # elementwise merge
+            row, tree_err = _comp_tree_rowsum(s)
+            s_ref[r, :] = row
+            c_ref[r, :] = tree_err + jnp.sum(e + q, axis=1)
+    return kernel
 
 
 def split_f64(v, out_dtype=jnp.float32):
@@ -383,26 +431,31 @@ class DF32BlockSpMV:
             x3 = self.split_x(x)
         R, b, mbp = self.R, self.b, self.m_pad * self.b
         nb = self.nb_pad
+        blocked = _nbr_mode(self.nbr.size * 4) == "blocked"
+        if blocked:
+            in_specs = [
+                pl.BlockSpec((R, self.m_pad), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ] + [
+                pl.BlockSpec((R, b, mbp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3 + [
+                pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            out_specs = [pl.BlockSpec((R, b), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+            n_prefetch = 0
+        else:
+            in_specs = [
+                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3 + [
+                pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            out_specs = [pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+            n_prefetch = 1
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=n_prefetch,
             grid=(nb // R,),
-            in_specs=[
-                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((1, mbp), jnp.float32)] * 3,
         )
         # trace the kernel with x64 semantics OFF: under global
@@ -413,7 +466,7 @@ class DF32BlockSpMV:
         # disable changes nothing semantically.
         with jax.enable_x64(False):
             s, c = pl.pallas_call(
-                _bsr_df32_kernel,
+                _make_bsr_df32_kernel(blocked),
                 out_shape=[jax.ShapeDtypeStruct((nb, b),
                                                 jnp.float32)] * 2,
                 grid_spec=grid_spec,
