@@ -75,6 +75,27 @@ def _use_pallas_bsr(nb: int, dtype) -> bool:
     return nb >= int(os.environ.get("FENAPACK_PALLAS_BSR_NB", "4096"))
 
 
+class _StaticArray:
+    """Hashable wrapper for the index arrays carried as pytree METADATA
+    (``ELL.cols`` / ``BlockELL.nbr``): they are compile-time constants of a
+    fixed sparsity pattern, so they belong in aux, but raw arrays there
+    crash jit's treedef equality ("arrays cannot be passed as metadata
+    fields") the moment TWO different pattern builds meet one process
+    (seen: sweep_bench point 2+).  Equality/hash go by the wrapped array's
+    object identity — distinct builds get distinct treedefs (a fresh jit
+    cache entry), identical patterns shared via with_vals() stay equal."""
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticArray) and self.a is other.a
+
+    def __hash__(self):
+        return hash(id(self.a))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ELL:
@@ -87,12 +108,12 @@ class ELL:
     n_cols: int
 
     def tree_flatten(self):
-        return (self.vals,), (self.cols, self.n_cols)
+        return (self.vals,), (_StaticArray(self.cols), self.n_cols)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         cols, n_cols = aux
-        return cls(cols=cols, vals=children[0], n_cols=n_cols)
+        return cls(cols=cols.a, vals=children[0], n_cols=n_cols)
 
     @property
     def shape(self):
@@ -134,12 +155,14 @@ class BlockELL:
     n_cols: int
 
     def tree_flatten(self):
-        return (self.tiles,), (self.nbr, self.n_rows, self.n_cols)
+        return (self.tiles,), (_StaticArray(self.nbr), self.n_rows,
+                               self.n_cols)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         nbr, n_rows, n_cols = aux
-        return cls(nbr=nbr, tiles=children[0], n_rows=n_rows, n_cols=n_cols)
+        return cls(nbr=nbr.a, tiles=children[0], n_rows=n_rows,
+                   n_cols=n_cols)
 
     @property
     def shape(self):

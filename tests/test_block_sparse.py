@@ -120,3 +120,40 @@ def test_block_mv_multi_rhs_matches_ell():
     y_b = np.asarray(asm_b.const.Ap.mv(jnp.asarray(X)))
     assert y_e.shape == y_b.shape == (asm_e.n1, 3)
     assert np.allclose(y_e, y_b, atol=1e-8)
+
+
+def test_distinct_pattern_builds_share_one_jit():
+    """Regression: ELL/BlockELL carry their index arrays as pytree METADATA
+    (compile-time constants).  Raw arrays there crash jit's treedef equality
+    ("arrays cannot be passed as metadata fields") the moment two DIFFERENT
+    pattern builds hit the same jit function in one process — which is
+    exactly what scripts/sweep_bench.py does (killed 6/8 round-2 sweep
+    points).  The identity-keyed _StaticArray wrapper must give distinct
+    builds distinct cache entries and with_vals() reuses the same entry."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    n, nnz = 97, 900
+    calls = []
+
+    @jax.jit
+    def apply(op, x):
+        calls.append(None)          # traces only on cache miss
+        return op.mv(x)
+
+    x = jnp.asarray(rng.standard_normal(n))
+    for b in (8, 32):
+        rows = rng.integers(0, n, nnz)
+        cols = rng.integers(0, n, nnz)
+        vals = jnp.asarray(rng.standard_normal(nnz))
+        pat = BlockSparsityPattern(rows, cols, n, n, block=b)
+        op = pat.assemble(vals)
+        dense = np.zeros((n, n))
+        np.add.at(dense, (rows, cols), np.asarray(vals))
+        got = apply(op, x)                       # build 1: fresh trace
+        assert np.allclose(np.asarray(got), dense @ np.asarray(x), atol=1e-9)
+        n_traces = len(calls)
+        got2 = apply(op.with_vals(op.vals * 2.0), x)   # same pattern: cache hit
+        assert len(calls) == n_traces, "with_vals() must not retrace"
+        assert np.allclose(np.asarray(got2), 2 * dense @ np.asarray(x),
+                           atol=1e-9)
