@@ -132,6 +132,50 @@ def main():
         timed("vgmg x5", lift_jit(vgmg_chain, oseen._lift_roots),
               A1vals, wind, b32[: nl.n_u])
 
+    if "asm" in stages:
+        # _solve_impl assembles the wind-dependent operator values INSIDE
+        # the solve program (picard_matrix_values + kp_values at 172k cells)
+        # — the one component the passing mv/pcd/vgmg chains all excluded
+        # (they took precomputed values as jit args).  Isolate it.
+        def asm_chain(w):
+            def body(w, _):
+                A1 = oseen._operator_values(w)[0]
+                kpv = asm.kp_values(w, surface=True).astype(jnp.float32)
+                s = jnp.sum(A1) + jnp.sum(kpv)
+                return w + 1e-30 * s, None          # keep assembly live
+            out, _ = jax.lax.scan(body, w, None, length=3)
+            return out
+        timed("asm x3", lift_jit(asm_chain, oseen._lift_roots), wind)
+
+    if "fgmres_pre" in stages:
+        # FGMRES loop + CGS2 + basis with the assembly EXCLUDED: operator
+        # values ride as jit args, subsolves are chebyshev (smallest PC).
+        # If this passes while fgmres[cheb] crashes, the killer is the
+        # in-program assembly; if it crashes too, it's the Krylov loop.
+        from fenapack_tpu.solvers.krylov import fgmres
+        from fenapack_tpu.solvers.fieldsplit import make_fieldsplit_upper
+        cfgc = overrides(cfg, {"velocity.method": "chebyshev",
+                               "velocity.iters": 10,
+                               "pcd.ap.method": "chebyshev",
+                               "pcd.ap.bounds": None, "pcd.ap.iters": 10})
+        nlc = NonlinearSolver(asm, bcs, cfgc)
+        oc = nlc.oseen
+        kpvals = asm.kp_values(wind, surface=True).astype(jnp.float32)
+
+        def pre(A1vals, kpvals, b):
+            kp = asm.pat_p1.matrix(kpvals)
+            matvec = oc._matvec_factory(A1vals, None)
+            a_solve = oc._velocity_solver(A1vals, None)
+            pcd = oc.pcd_apply
+            pc = make_fieldsplit_upper(oc.n_u, a_solve,
+                                       lambda r: pcd(kp, r),
+                                       oc._bt_mv, oc.free_u)
+            return fgmres(matvec, pc, b, maxiter=args.maxiter,
+                          rtol=2e-6).iters
+        res = timed(f"fgmres_pre[m{args.maxiter}]",
+                    lift_jit(pre, oc._lift_roots), A1vals, kpvals, b32)
+        print(f"fgmres_pre iters:", int(res), flush=True)
+
     if "fgmres" in stages:
         # variant ladder: cheapest/smallest-program PC first, so the crash
         # point identifies which composition kills the worker

@@ -23,7 +23,7 @@ LEVEL = int(os.environ.get("SWEEP_LEVEL", "2"))
 ORACLE = {1: 287, 2: 271}.get(LEVEL)
 
 
-def run(tag, over_str, hik="1", df32="1", recycle="0"):
+def run(tag, over_str, hik="1", df32="1", recycle="0", anderson=0):
     os.environ["BENCH_OVER"] = over_str
     os.environ["BENCH_HIK"] = hik
     os.environ["BENCH_DF32"] = df32
@@ -33,7 +33,15 @@ def run(tag, over_str, hik="1", df32="1", recycle="0"):
     import numpy as np
 
     nl = bench.build(LEVEL, "BRM2", ls="iterative", block_size=32)
-    if nl.oseen.config.krylov.recycle == 0:
+    if anderson:
+        res = nl.solve_anderson(m=anderson, rtol=1e-5, rtol_lin=1e-8)  # warm
+        t0 = time.perf_counter()
+        res = nl.solve_anderson(m=anderson, rtol=1e-5, rtol_lin=1e-8)
+        wall = time.perf_counter() - t0
+        iters = list(res.linear_iters)
+    else:
+        # make_full_solve carries the GCRO-DR space through the while_loop,
+        # so recycled configs fuse the same as plain ones
         full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
         w0 = nl.initial_state().astype(jnp.float64)
         jax.block_until_ready(full(w0))          # warmup/compile
@@ -42,27 +50,30 @@ def run(tag, over_str, hik="1", df32="1", recycle="0"):
         jax.block_until_ready((w, k, iters_a))
         wall = time.perf_counter() - t0
         iters = [int(i) for i in np.asarray(iters_a)[:int(k)]]
-    else:
-        _, _, _, step = bench.picard_ir(nl, max_steps=2)  # warmup/compile
-        t0 = time.perf_counter()
-        _, iters, _, _ = bench.picard_ir(nl, step=step)
-        wall = time.perf_counter() - t0
     total = sum(iters)
     print(json.dumps({
         "tag": tag, "over": over_str, "hik": hik, "df32": df32,
-        "recycle": recycle, "wall_s": round(wall, 3), "total_iters": total,
+        "recycle": recycle, "anderson": anderson,
+        "wall_s": round(wall, 3), "total_iters": total,
         "vs_baseline": round(ORACLE / max(total, 1), 4) if ORACLE else None,
         "iters": iters}), flush=True)
 
 
 POINTS = [
     ("baseline", "", {}),
-    ("ds_basis", "krylov.ds_basis=true", {}),
-    ("mp3", "pcd.mp.iters=3", {}),
-    ("cap40", "krylov.maxiter=40", {}),
-    ("cap56", "krylov.maxiter=56", {}),
-    ("vsmooth2", "velocity.smooth_iters=2", {}),
+    # the oracle's LATE Picard steps decay (28 -> 24, 23) while ours stay
+    # flat: GCRO-DR deflation across steps targets exactly that tail
+    ("hik_rec16", "", {"recycle": "16"}),
+    ("hik_rec24", "", {"recycle": "24"}),
+    # stronger subsolves: trade per-iter cost for outer counts
+    ("mp6", "pcd.mp.iters=6", {}),
     ("apcyc2", "pcd.ap.cycles=2", {}),
+    ("vcyc3", "velocity.cycles=3", {}),
+    ("vsmooth4", "velocity.smooth_iters=4", {}),
+    ("cap40", "krylov.maxiter=40", {}),
+    ("ds_basis", "krylov.ds_basis=true", {}),
+    ("anderson4", "", {"anderson": 4}),
+    ("anderson4_rec16", "", {"anderson": 4, "recycle": "16"}),
     ("f32ir_rec16", "", {"hik": "0", "recycle": "16"}),
 ]
 
