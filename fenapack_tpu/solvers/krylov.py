@@ -98,29 +98,55 @@ def refresh_recycle(matvec: Callable, rec: RecycleSpace,
         if fdt == dt:
             Q, R = jnp.linalg.qr(Cp.T)               # (n,k), (k,k)
             Rg = R + jnp.diag(_diag_guard(R))
-            U_new = jax.scipy.linalg.solve_triangular(Rg.T, rec.U,
-                                                      lower=True)
+            U_new = _tri_solve_rows(Rg.T, rec.U, lower=True)
             C_new = Q.T
         else:
             _, R32 = jnp.linalg.qr(Cp.T.astype(fdt))
             R = R32.astype(dt)
             Rg = R + jnp.diag(_diag_guard(R))
             # exact-precision re-binding through the approximate factor:
-            # rows U1 = R^{-T} U, C1 = R^{-T} Cp  =>  C1 = A U1 exactly
-            U1 = jax.scipy.linalg.solve_triangular(Rg.T, rec.U, lower=True)
-            C1 = jax.scipy.linalg.solve_triangular(Rg.T, Cp, lower=True)
+            # rows U1 = R^{-T} U, C1 = R^{-T} Cp  =>  C1 = A U1 exactly.
+            # Wide-RHS triangular solves MUST be the unrolled row form —
+            # see _tri_solve_rows: the library solve leaves ~f32 error in
+            # C on TPU, which stalls 1e-8-rtol deflated solves at the cap.
+            U1 = _tri_solve_rows(Rg.T, rec.U, lower=True)
+            C1 = _tri_solve_rows(Rg.T, Cp, lower=True)
             # Cholesky refinement: C1 C1^T = I + O(f32); fold L^{-1} into
             # both so orthonormality AND the invariant hold in precision dt.
             # Gram rows via matrix-vector products (see Cp note above).
             S = jnp.stack([C1 @ C1[i] for i in range(k)]) + jnp.diag(
                 jnp.where(rec.valid > 0, 0.0, 1.0).astype(dt))
             L = jnp.linalg.cholesky(S)
-            U_new = jax.scipy.linalg.solve_triangular(L, U1, lower=True)
-            C_new = jax.scipy.linalg.solve_triangular(L, C1, lower=True)
+            U_new = _tri_solve_rows(L, U1, lower=True)
+            C_new = _tri_solve_rows(L, C1, lower=True)
     ok = (rec.valid > 0)[:, None]
     return RecycleSpace(U=jnp.where(ok, U_new, 0.0),
                         C=jnp.where(ok, C_new, 0.0),
                         valid=rec.valid)
+
+
+def _tri_solve_rows(T, B, lower=True):
+    """Triangular solve ``T X = B`` with a WIDE (k, n) right-hand side as
+    ``k`` unrolled row updates.
+
+    ``jax.scipy.linalg.solve_triangular`` against a wide RHS lowers to
+    matrix-matrix substitution passes, which the axon TPU executes at ~f32
+    regardless of the requested precision (doc/tpu_design.md landmine —
+    measured: hi_krylov recycled solves stalled at the ~1e-7 orthonormality
+    floor this left in C, hitting the iteration cap on every post-harvest
+    solve while the identical program converged on CPU).  Row-unrolled
+    substitution is pure scalar*vector algebra, which lowers cleanly at
+    full precision; k is the (small, static) recycle dimension.
+    """
+    k = B.shape[0]
+    order = range(k) if lower else reversed(range(k))
+    X = [None] * k
+    for i in order:
+        acc = B[i]
+        for j in (range(i) if lower else range(i + 1, k)):
+            acc = acc - T[i, j] * X[j]
+        X[i] = acc / T[i, i]
+    return jnp.stack(X)
 
 
 def _diag_guard(R, tiny: float = 1e-20):
