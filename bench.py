@@ -311,7 +311,9 @@ def main():
     # GCRO-DR recycle space (f32 IR mode, BENCH_HIK=0) rides the carry
     fullfuse = os.environ.get("BENCH_FULLFUSE", "1") == "1"
     if fullfuse:
-        full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
+        full = nl.make_full_solve(
+            rtol=1e-5, rtol_lin=1e-8, max_steps=25,
+            anderson=int(os.environ.get("BENCH_ANDERSON", "0")))
         w0 = nl.initial_state().astype(jnp.float64)
         out = full(w0)                       # warmup/compile
         jax.block_until_ready(out)

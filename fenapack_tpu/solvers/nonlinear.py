@@ -232,7 +232,7 @@ class NonlinearSolver:
                                wall_time=time.perf_counter() - t0)
 
     def make_full_solve(self, rtol: float = 1e-5, rtol_lin: float = 1e-8,
-                        max_steps: int = 25):
+                        max_steps: int = 25, anderson: int = 0):
         """Whole nonlinear solve as ONE device program: ``lax.while_loop``
         over fused Picard steps (residual + linear solve + update) with the
         convergence test on device.
@@ -244,8 +244,16 @@ class NonlinearSolver:
         ``config.krylov.recycle > 0`` the GCRO-DR space rides the
         ``while_loop`` carry, deflating across Picard steps inside the one
         program.
+
+        ``anderson=m >= 2`` adds device-side Anderson mixing (type-II,
+        window ``m``) over the Picard map — the fused twin of
+        ``solve_anderson``, which pays ~m^2 host scalar fetches per step
+        through the tunnel for its Gram matrix.  Here the history rides the
+        while_loop carry and the (m-1)^2 normal equations are built from
+        unrolled on-device dots, so the 10-15% iteration saving comes at
+        fused-step cost.
         """
-        key = ("full", rtol, rtol_lin, max_steps)
+        key = ("full", rtol, rtol_lin, max_steps, anderson)
         hit = self._jit_cache.get(key)
         if hit is not None:
             return hit
@@ -270,43 +278,83 @@ class NonlinearSolver:
             return F, jnp.linalg.norm(F)
 
         kr = self.oseen.config.krylov.recycle
+        m = int(anderson)
+        n = self.n
+        fdt = self.oseen.dtype
 
         def full(w0):
             w0 = w0.astype(dt_hi)
             iters0 = jnp.zeros(max_steps, jnp.int32)
             res0 = jnp.zeros(max_steps + 1, dt_hi)
             rec0 = self.initial_recycle() if kr else jnp.zeros(0)
+            # Anderson history: last m (correction, iterate) pairs + count
+            and0 = ((jnp.zeros((m, n), dt_hi), jnp.zeros((m, n), dt_hi),
+                     jnp.array(0, jnp.int32))
+                    if m >= 2 else jnp.zeros(0))
 
             def cond(c):
-                k, w, r0, iters, res, done, rec = c
+                k, w, r0, iters, res, done, rec, andc = c
                 return jnp.logical_and(k < max_steps, jnp.logical_not(done))
 
             def body(c):
-                k, w, r0, iters, res, done, rec = c
+                k, w, r0, iters, res, done, rec, andc = c
                 F, rn = residual_of(w)
                 r0 = jnp.where(k == 0, jnp.where(rn > 0, rn, 1.0), r0)
                 res = res.at[k].set(rn)
                 conv = rn <= rtol * r0
 
-                def take_step(rec):
+                def take_step(op):
+                    rec, andc = op
                     if kr:
                         x, it, _, rec = ir(w[:n_u], -F, rec)
                     else:
                         x, it, _ = ir(w[:n_u], -F)
-                    return w + x, it, rec
+                    g = w + x
+                    if m < 2:
+                        return g, it, rec, andc
+                    # type-II Anderson mixing on the Picard map g(w)=w+x:
+                    # minimize ||x - dF gamma|| over the affine history hull
+                    Fh, Gh, hc = andc
+                    Fh = jnp.roll(Fh, -1, axis=0).at[-1].set(x)
+                    Gh = jnp.roll(Gh, -1, axis=0).at[-1].set(g)
+                    hc = jnp.minimum(hc + 1, m)
+                    dF = Fh[1:] - Fh[:-1]
+                    dG = Gh[1:] - Gh[:-1]
+                    # only the newest hc-1 difference columns are real
+                    valid = jnp.arange(m - 1) >= (m - 1) - (hc - 1)
+                    # Gram via unrolled vdots: (m,n)@(n,m) f64 contractions
+                    # silently run ~f32 on this TPU (matvec/dots are clean)
+                    G = jnp.stack([jnp.stack([jnp.vdot(dF[i], dF[j])
+                                              for j in range(m - 1)])
+                                   for i in range(m - 1)])
+                    cvec = jnp.stack([jnp.vdot(dF[i], x)
+                                      for i in range(m - 1)])
+                    eye = jnp.eye(m - 1, dtype=dt_hi)
+                    G = jnp.where(jnp.outer(valid, valid), G, eye)
+                    cvec = jnp.where(valid, cvec, 0.0)
+                    lam = 1e-12 * jnp.maximum(jnp.trace(G), 1e-30)
+                    # tiny (m-1)^2 solve in compute precision (f64 dense
+                    # factorizations stall the axon compile service)
+                    gam = jnp.linalg.solve(
+                        (G + lam * eye).astype(fdt),
+                        cvec.astype(fdt)).astype(dt_hi)
+                    gam = jnp.where(valid, gam, 0.0)
+                    w_acc = g - sum(gam[j] * dG[j] for j in range(m - 1))
+                    return w_acc, it, rec, (Fh, Gh, hc)
 
                 # lax.cond: the converged final check pays NO linear solve
-                w_new, it, rec = jax.lax.cond(
-                    conv, lambda rec: (w, jnp.array(0, jnp.int32), rec),
-                    take_step, rec)
+                w_new, it, rec, andc = jax.lax.cond(
+                    conv,
+                    lambda op: (w, jnp.array(0, jnp.int32), op[0], op[1]),
+                    take_step, (rec, andc))
                 iters = iters.at[k].set(it)
                 return (k + jnp.where(conv, 0, 1), w_new, r0, iters, res,
-                        conv, rec)
+                        conv, rec, andc)
 
-            k, w, r0, iters, res, done, _ = jax.lax.while_loop(
+            k, w, r0, iters, res, done, _, _ = jax.lax.while_loop(
                 cond, body, (jnp.array(0, jnp.int32), w0,
                              jnp.array(1.0, dt_hi), iters0, res0, False,
-                             rec0))
+                             rec0, and0))
             return w, k, iters, res
 
         from ..runtime import lift_jit

@@ -33,23 +33,17 @@ def run(tag, over_str, hik="1", df32="1", recycle="0", anderson=0):
     import numpy as np
 
     nl = bench.build(LEVEL, "BRM2", ls="iterative", block_size=32)
-    if anderson:
-        res = nl.solve_anderson(m=anderson, rtol=1e-5, rtol_lin=1e-8)  # warm
-        t0 = time.perf_counter()
-        res = nl.solve_anderson(m=anderson, rtol=1e-5, rtol_lin=1e-8)
-        wall = time.perf_counter() - t0
-        iters = list(res.linear_iters)
-    else:
-        # make_full_solve carries the GCRO-DR space through the while_loop,
-        # so recycled configs fuse the same as plain ones
-        full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25)
-        w0 = nl.initial_state().astype(jnp.float64)
-        jax.block_until_ready(full(w0))          # warmup/compile
-        t0 = time.perf_counter()
-        w, k, iters_a, _ = full(w0)
-        jax.block_until_ready((w, k, iters_a))
-        wall = time.perf_counter() - t0
-        iters = [int(i) for i in np.asarray(iters_a)[:int(k)]]
+    # make_full_solve carries the GCRO-DR space AND the Anderson history
+    # through the while_loop, so every config fuses the same way
+    full = nl.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25,
+                              anderson=anderson)
+    w0 = nl.initial_state().astype(jnp.float64)
+    jax.block_until_ready(full(w0))          # warmup/compile
+    t0 = time.perf_counter()
+    w, k, iters_a, _ = full(w0)
+    jax.block_until_ready((w, k, iters_a))
+    wall = time.perf_counter() - t0
+    iters = [int(i) for i in np.asarray(iters_a)[:int(k)]]
     total = sum(iters)
     print(json.dumps({
         "tag": tag, "over": over_str, "hik": hik, "df32": df32,
@@ -61,10 +55,6 @@ def run(tag, over_str, hik="1", df32="1", recycle="0", anderson=0):
 
 POINTS = [
     ("baseline", "", {}),
-    # the oracle's LATE Picard steps decay (28 -> 24, 23) while ours stay
-    # flat: GCRO-DR deflation across steps targets exactly that tail
-    ("hik_rec16", "", {"recycle": "16"}),
-    ("hik_rec24", "", {"recycle": "24"}),
     # stronger subsolves: trade per-iter cost for outer counts
     ("mp6", "pcd.mp.iters=6", {}),
     ("apcyc2", "pcd.ap.cycles=2", {}),
@@ -73,6 +63,9 @@ POINTS = [
     ("cap40", "krylov.maxiter=40", {}),
     ("ds_basis", "krylov.ds_basis=true", {}),
     ("anderson4", "", {"anderson": 4}),
+    # the oracle's LATE Picard steps decay (28 -> 24, 23) while ours stay
+    # flat: GCRO-DR deflation across steps targets exactly that tail
+    ("hik_rec16", "", {"recycle": "16"}),
     ("anderson4_rec16", "", {"anderson": 4, "recycle": "16"}),
     ("f32ir_rec16", "", {"hik": "0", "recycle": "16"}),
 ]

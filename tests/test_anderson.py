@@ -35,6 +35,26 @@ def test_anderson_converges_with_fewer_steps():
     assert acc.total_linear_iters < plain.total_linear_iters
 
 
+def test_fused_anderson_matches_host_loop():
+    """make_full_solve(anderson=m) is the device-fused twin of
+    solve_anderson: same mixing math (history in the while_loop carry,
+    Gram from unrolled on-device dots) -> same steps, same solution."""
+    nl = build()
+    host = nl.solve_anderson(m=4, rtol=1e-5)
+    full = nl.make_full_solve(rtol=1e-5, max_steps=25, anderson=4)
+    w, k, iters, _ = full(nl.initial_state().astype(jnp.float64))
+    k = int(k)
+    iters = [int(i) for i in np.asarray(iters)[:k]]
+    assert host.converged
+    assert len(iters) == len(host.linear_iters)
+    # identical mixing up to roundoff in the tiny Gram solve
+    assert abs(sum(iters) - sum(host.linear_iters)) <= 2, (
+        iters, host.linear_iters)
+    nd = (float(jnp.linalg.norm(w - host.w))
+          / float(jnp.linalg.norm(host.w)))
+    assert nd < 1e-6, nd
+
+
 def test_anderson_same_solution_as_picard():
     a = build().solve_fused(rtol=1e-8, max_steps=40)
     b = build().solve_anderson(m=4, rtol=1e-8, max_steps=40)
