@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Schafer-Turek "flow around a cylinder" benchmark (DFG 2D-1 / 2D-2).
+
+The quantitative-physics workload of the reference family (upstream
+fenapack's unsteady demo geometry; BASELINE config 3 "channel/cylinder"):
+channel [0, 2.2] x [0, 0.41], cylinder r = 0.05 at (0.2, 0.2), Taylor-Hood
+P2/P1, parabolic inflow.
+
+    2D-1 (steady, Re = 20):   python demos/demo_cylinder.py -l 2
+    2D-2 (unsteady, Re = 100): python demos/demo_cylinder.py --unsteady \
+        -l 2 --t-end 8.0 --dt 0.0125
+
+Reports drag/lift coefficients (discrete-consistent boundary reaction,
+utils/functionals.py), the front/back pressure difference, and — for the
+unsteady run — the Strouhal number from the lift signal's periods, against
+the published benchmark intervals (Schafer & Turek 1996):
+
+    2D-1: c_D in [5.5700, 5.5900], c_L in [0.0104, 0.0110],
+          dP in [0.1172, 0.1176]
+    2D-2: c_Dmax in [3.2200, 3.2400], c_Lmax in [0.9900, 1.0100],
+          St in [0.2950, 0.3050]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+UBAR = {20: 0.2, 100: 1.0}       # mean inflow velocity per benchmark Re
+D = 0.1                          # cylinder diameter
+
+
+def build(level, re, dtype_str, ls="iterative", nls="newton",
+          unsteady=False):
+    import jax.numpy as jnp
+    from fenapack_tpu.fem import mesh as meshmod
+    from fenapack_tpu.fem.assemble import NSAssembler
+    from fenapack_tpu.fem.dofmap import DirichletBC
+    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers import gmg
+
+    nu = UBAR[re] * D / re
+    u_m = 1.5 * UBAR[re]                 # parabola peak
+    hier = gmg.build_hierarchy(meshmod.cylinder_channel_mesh(0), level,
+                               snap=meshmod.snap_to_circle)
+    mesh = hier.fine
+    adtype = jnp.float64 if dtype_str == "float64" else jnp.float32
+    asm = NSAssembler(mesh, nu, dtype=adtype)
+
+    def inflow(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4.0 * u_m * x[:, 1] * (0.41 - x[:, 1]) / 0.41 ** 2
+        return v
+
+    noslip = [meshmod.WALL, meshmod.CYLINDER]
+    bcs = [DirichletBC.velocity(asm.W, noslip,
+                                lambda x: np.zeros((x.shape[0], 2))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+    over = {"pcd.variant": "BRM2", "dtype": dtype_str}
+    ap_h = v_h = None
+    if ls == "iterative":
+        over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
+                     "velocity.cycles": 2, "pcd.ap.method": "gmg",
+                     # level operators are nonsymmetric; minres smoothing
+                     # is the safe default on the velocity hierarchy
+                     "velocity.smoother": "minres"})
+        ap_h = gmg.PressureHierarchy(hier, adtype,
+                                     pcd_markers=[meshmod.OUTFLOW],
+                                     fine_asm=asm)
+        v_h = gmg.VelocityHierarchy(hier, nu, adtype, bc_markers=noslip
+                                    + [meshmod.INFLOW], fine_asm=asm)
+    cfg = overrides(SolverConfig(), over)
+    return asm, bcs, cfg, ap_h, v_h, nu
+
+
+def coefficients(asm, w, n_u, supg=False):
+    """(c_D, c_L, dP) from the state vector ``w`` (steady normalization
+    factors applied by the caller)."""
+    from fenapack_tpu.fem import mesh as meshmod
+    from fenapack_tpu.utils.functionals import boundary_reaction, eval_p1
+    F = boundary_reaction(asm, w[:n_u], w[n_u:], [meshmod.CYLINDER],
+                          supg=supg)
+    p2 = eval_p1(asm, np.asarray(w[n_u:]), [(0.15, 0.2), (0.25, 0.2)])
+    return F[0], F[1], p2[0] - p2[1]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-l", "--level", type=int, default=1,
+                    help="refinements of the level-0 cylinder mesh")
+    ap.add_argument("--nls", choices=["picard", "newton"], default="newton")
+    ap.add_argument("--ls", choices=["direct", "iterative"],
+                    default="iterative")
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--rtol", type=float, default=1e-6)
+    ap.add_argument("--unsteady", action="store_true",
+                    help="DFG 2D-2: Re=100 vortex shedding + Strouhal")
+    ap.add_argument("--t-end", type=float, default=8.0)
+    ap.add_argument("--dt", type=float, default=0.0125)
+    args = ap.parse_args()
+
+    import jax
+    from fenapack_tpu.jax_setup import setup as jax_setup
+    jax_setup(x64=args.dtype in (None, "float64"))
+    import jax.numpy as jnp
+    from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+
+    dtype = args.dtype or ("float64" if jax.default_backend() == "cpu"
+                           else "float32")
+    re = 100 if args.unsteady else 20
+    asm, bcs, cfg, ap_h, v_h, nu = build(args.level, re, dtype, ls=args.ls,
+                                         nls=args.nls,
+                                         unsteady=args.unsteady)
+    n_u = 2 * asm.n2
+    coeff = 2.0 / (UBAR[re] ** 2 * D)
+    print(f"cylinder channel  l={args.level}  Re={re}  nu={nu:g}  "
+          f"dofs={2 * asm.n2_real + asm.n1_real}")
+
+    if not args.unsteady:
+        solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls,
+                                 ap_hierarchy=ap_h, velocity_hierarchy=v_h)
+        res = solver.solve(rtol=args.rtol, verbose=True)
+        print(f"converged: {res.converged}  iters/step: {res.linear_iters}")
+        fd, fl, dp = coefficients(asm, res.w, n_u)
+        print(f"\nDFG 2D-1:  c_D = {coeff * fd:.4f}   (ref 5.5700-5.5900)")
+        print(f"           c_L = {coeff * fl:.4f}   (ref 0.0104-0.0110)")
+        print(f"           dP  = {dp:.4f}   (ref 0.1172-0.1176)")
+        return
+
+    # ---- 2D-2: BDF2 time stepping through the shedding limit cycle ----
+    from fenapack_tpu.solvers.unsteady import UnsteadySolver
+    us = UnsteadySolver(asm, bcs, cfg, dt=args.dt, scheme="bdf2",
+                        ap_hierarchy=ap_h, velocity_hierarchy=v_h)
+    hist = []
+    prev = {"u": None}
+
+    def record(k, t, w):
+        # unsteady force = steady reaction + inertial term M du/dt on the
+        # boundary rows (nonzero over boundary cells even with no-slip);
+        # du/dt by backward difference of the recorded states
+        from fenapack_tpu.fem import mesh as meshmod
+        from fenapack_tpu.utils.functionals import boundary_reaction, eval_p1
+        u = w[:n_u]
+        du_dt = None if prev["u"] is None else (u - prev["u"]) / args.dt
+        prev["u"] = u
+        F = boundary_reaction(asm, u, w[n_u:], [meshmod.CYLINDER],
+                              du_dt=du_dt)
+        dp = eval_p1(asm, np.asarray(w[n_u:]),
+                     [(0.15, 0.2), (0.25, 0.2)])
+        hist.append((t, coeff * F[0], coeff * F[1], dp[0] - dp[1]))
+        if (k + 1) % 80 == 0:
+            print(f"t={t:7.3f}  cD={hist[-1][1]:.4f}  "
+                  f"cL={hist[-1][2]:+.4f}", flush=True)
+
+    us.solve(args.t_end, picard_iters=3, callback=record)
+    t = np.array([h[0] for h in hist])
+    cl = np.array([h[2] for h in hist])
+    half = t > 0.5 * t[-1]
+    # Strouhal from mean zero-upcrossing period of the (established) lift
+    s = cl[half] - cl[half].mean()
+    up = np.where((s[:-1] < 0) & (s[1:] >= 0))[0]
+    if up.size >= 2:
+        period = (t[half][up[-1]] - t[half][up[0]]) / (up.size - 1)
+        print(f"\nDFG 2D-2:  St = {D / (period * UBAR[100]):.4f}   "
+              f"(ref 0.2950-0.3050)")
+    print(f"           c_Dmax = {max(h[1] for h in hist[len(hist)//2:]):.4f}"
+          f"   (ref 3.2200-3.2400)")
+    print(f"           c_Lmax = {max(h[2] for h in hist[len(hist)//2:]):.4f}"
+          f"   (ref 0.9900-1.0100)")
+
+
+if __name__ == "__main__":
+    main()

