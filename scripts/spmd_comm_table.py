@@ -61,23 +61,29 @@ def main():
                                     lambda x: np.zeros((x.shape[0], 2))),
                DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
         # MATCHED subsolves on both sides (parity-of-method, same strength):
-        # minres-polynomial velocity rounds (iters=10 -> 2 rounds of 4, the
-        # exact structure SPMDPCDSolver builds from cheb_velocity_iters=10)
+        # minres-polynomial velocity rounds (iters=16 -> 4 rounds of 4, the
+        # exact structure SPMDPCDSolver builds from cheb_velocity_iters=16)
         # and a 2-cycle/2-smooth pressure GMG mirroring SPMDPressureGMG
         cfg = overrides(SolverConfig(), {
             "pcd.variant": "BRM2", "dtype": "float64",
-            "krylov.rtol": 1e-6, "krylov.maxiter": 120,
-            "velocity.method": "minres", "velocity.iters": 10,
+            "krylov.rtol": 1e-6, "krylov.maxiter": 300,
+            "velocity.method": "minres", "velocity.iters": 16,
             "velocity.bounds": (0.05, 1.97),
             "pcd.ap.method": "gmg", "pcd.ap.cycles": 2,
             "pcd.ap.smooth_iters": 2})
+        # two hierarchies: the single-device solver needs one matching its
+        # RCM-reordered assembler; SPMDPressureGMG expects natural ordering
+        # (it applies its own per-level RCM ring relabeling)
         ph = gmg.PressureHierarchy(hier, jnp.float64,
                                    pcd_markers=[meshmod.OUTFLOW])
-        nl = NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ph)
+        ph1 = gmg.PressureHierarchy(hier, jnp.float64, reorder=True,
+                                    pcd_markers=[meshmod.OUTFLOW],
+                                    fine_asm=asm)
+        nl = NonlinearSolver(asm, bcs, cfg, ap_hierarchy=ph1)
         ap_gmg = SPMDPressureGMG(ph, dmesh, dtype=jnp.float64,
                                  smooth_iters=2, cycles=2)
         sp = SPMDPCDSolver(nl.oseen, dmesh, ap_gmg=ap_gmg,
-                           cheb_velocity_iters=10, maxiter=120, rtol=1e-6)
+                           cheb_velocity_iters=16, maxiter=300, rtol=1e-6)
 
         w = nl.initial_state()
         F = np.asarray(nl._residual(w))
