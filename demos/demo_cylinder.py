@@ -46,7 +46,11 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
     hier = gmg.build_hierarchy(meshmod.cylinder_channel_mesh(0), level,
                                snap=meshmod.snap_to_circle)
     mesh = hier.fine
-    adtype = jnp.float64 if dtype_str == "float64" else jnp.float32
+    # "mixed" (the TPU production mode): f64 assembler/residual + f32
+    # compute/preconditioner — the fused IR steps carry the state in f64
+    # honest to rtol_lin, so forces (lift is 0.2% of drag) stay sharp
+    adtype = jnp.float32 if dtype_str == "float32" else jnp.float64
+    sdtype = "float64" if dtype_str == "float64" else "float32"
     asm = NSAssembler(mesh, nu, dtype=adtype)
 
     def inflow(x):
@@ -58,7 +62,7 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
     bcs = [DirichletBC.velocity(asm.W, noslip,
                                 lambda x: np.zeros((x.shape[0], 2))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
-    over = {"pcd.variant": "BRM2", "dtype": dtype_str}
+    over = {"pcd.variant": "BRM2", "dtype": sdtype}
     ap_h = v_h = None
     if ls == "iterative":
         over.update({"velocity.method": "gmg", "velocity.smooth_iters": 3,
@@ -66,10 +70,11 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
                      # level operators are nonsymmetric; minres smoothing
                      # is the safe default on the velocity hierarchy
                      "velocity.smoother": "minres"})
-        ap_h = gmg.PressureHierarchy(hier, adtype,
+        hdtype = jnp.dtype(sdtype)
+        ap_h = gmg.PressureHierarchy(hier, hdtype,
                                      pcd_markers=[meshmod.OUTFLOW],
                                      fine_asm=asm)
-        v_h = gmg.VelocityHierarchy(hier, nu, adtype, bc_markers=noslip
+        v_h = gmg.VelocityHierarchy(hier, nu, hdtype, bc_markers=noslip
                                     + [meshmod.INFLOW], fine_asm=asm)
     cfg = overrides(SolverConfig(), over)
     return asm, bcs, cfg, ap_h, v_h, nu
@@ -108,7 +113,7 @@ def main():
     from fenapack_tpu.solvers.nonlinear import NonlinearSolver
 
     dtype = args.dtype or ("float64" if jax.default_backend() == "cpu"
-                           else "float32")
+                           else "mixed")
     re = 100 if args.unsteady else 20
     asm, bcs, cfg, ap_h, v_h, nu = build(args.level, re, dtype, ls=args.ls,
                                          nls=args.nls,
@@ -121,7 +126,12 @@ def main():
     if not args.unsteady:
         solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls,
                                  ap_hierarchy=ap_h, velocity_hierarchy=v_h)
-        res = solver.solve(rtol=args.rtol, verbose=True)
+        if dtype == "mixed":
+            # fused IR Picard/Newton steps: f64-carried state honest to
+            # the linear rtol even though the compute path is f32
+            res = solver.solve_fused(rtol=args.rtol, verbose=True)
+        else:
+            res = solver.solve(rtol=args.rtol, verbose=True)
         print(f"converged: {res.converged}  iters/step: {res.linear_iters}")
         fd, fl, dp = coefficients(asm, res.w, n_u)
         print(f"\nDFG 2D-1:  c_D = {coeff * fd:.4f}   (ref 5.5700-5.5900)")
@@ -154,7 +164,12 @@ def main():
             print(f"t={t:7.3f}  cD={hist[-1][1]:.4f}  "
                   f"cL={hist[-1][2]:+.4f}", flush=True)
 
-    us.solve(args.t_end, picard_iters=3, callback=record)
+    if dtype == "mixed":
+        # one fused device call per step (semi-implicit BDF2, the
+        # reference demo's 'picard' setting; state carried in f64)
+        us.solve_fused(args.t_end, callback=record)
+    else:
+        us.solve(args.t_end, picard_iters=3, callback=record)
     t = np.array([h[0] for h in hist])
     cl = np.array([h[2] for h in hist])
     half = t > 0.5 * t[-1]

@@ -116,7 +116,7 @@ def refresh_recycle(matvec: Callable, rec: RecycleSpace,
             # Gram rows via matrix-vector products (see Cp note above).
             S = jnp.stack([C1 @ C1[i] for i in range(k)]) + jnp.diag(
                 jnp.where(rec.valid > 0, 0.0, 1.0).astype(dt))
-            L = jnp.linalg.cholesky(S)
+            L = _cholesky_unrolled(S)
             U_new = _tri_solve_rows(L, U1, lower=True)
             C_new = _tri_solve_rows(L, C1, lower=True)
     ok = (rec.valid > 0)[:, None]
@@ -147,6 +147,33 @@ def _tri_solve_rows(T, B, lower=True):
             acc = acc - T[i, j] * X[j]
         X[i] = acc / T[i, i]
     return jnp.stack(X)
+
+
+def _cholesky_unrolled(S):
+    """Scalar-unrolled Cholesky of a small (k, k) SPD matrix.
+
+    ``jnp.linalg.cholesky`` lowers through blocked matrix algebra that the
+    axon TPU executes at ~f32 even for f64 operands (the same landmine as
+    the wide-RHS triangular solves, :func:`_tri_solve_rows`) — leaving
+    O(1e-7) error in the refinement factor and re-stalling the 1e-8-rtol
+    deflated solves the refinement exists to protect.  Scalar substitution
+    lowers at full precision; k is the small static recycle dimension.
+    """
+    k = S.shape[0]
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            acc = S[i, j]
+            for p in range(j):
+                acc = acc - L[i][p] * L[j][p]
+            if i == j:
+                # guard: invalid (masked) rows carry an identity pivot
+                L[i][j] = jnp.sqrt(jnp.maximum(acc, 1e-300))
+            else:
+                L[i][j] = acc / L[j][j]
+    zero = jnp.zeros((), S.dtype)
+    return jnp.stack([jnp.stack([L[i][j] if j <= i else zero
+                                 for j in range(k)]) for i in range(k)])
 
 
 def _diag_guard(R, tiny: float = 1e-20):

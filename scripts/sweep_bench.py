@@ -54,19 +54,20 @@ def run(tag, over_str, hik="1", df32="1", recycle="0", anderson=0):
 
 
 POINTS = [
+    # measured 2026-08-19 (TPU v5e, level 2): baseline 3.30 s / 284 iters;
+    # subsolve-strength points (mp6, apcyc2, vcyc3, vsmooth4, cap40) all
+    # saturate at 283-284 — outer counts are not subsolve-limited.
+    # ds_basis: 2.54 s at identical counts.  host anderson4: 257 iters
+    # (beats oracle 271) but 6.75 s of tunnel fetches -> now fused.
     ("baseline", "", {}),
-    # stronger subsolves: trade per-iter cost for outer counts
-    ("mp6", "pcd.mp.iters=6", {}),
-    ("apcyc2", "pcd.ap.cycles=2", {}),
-    ("vcyc3", "velocity.cycles=3", {}),
-    ("vsmooth4", "velocity.smooth_iters=4", {}),
-    ("cap40", "krylov.maxiter=40", {}),
     ("ds_basis", "krylov.ds_basis=true", {}),
     ("anderson4", "", {"anderson": 4}),
+    ("anderson4_ds", "krylov.ds_basis=true", {"anderson": 4}),
+    ("anderson6_ds", "krylov.ds_basis=true", {"anderson": 6}),
+    ("anderson4_rec16", "", {"anderson": 4, "recycle": "16"}),
     # the oracle's LATE Picard steps decay (28 -> 24, 23) while ours stay
     # flat: GCRO-DR deflation across steps targets exactly that tail
     ("hik_rec16", "", {"recycle": "16"}),
-    ("anderson4_rec16", "", {"anderson": 4, "recycle": "16"}),
     ("f32ir_rec16", "", {"hik": "0", "recycle": "16"}),
 ]
 
