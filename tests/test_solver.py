@@ -75,6 +75,18 @@ def test_newton_quadratic():
     assert len(r) <= 8
 
 
+def test_fused_newton_quadratic():
+    """The fused-step path (make_step_ir via solve_fused) preserves Newton
+    quadratic decay — guards the demo_cylinder 'mixed' TPU mode, which runs
+    Newton exclusively through the fused IR steps."""
+    solver = make_step_solver(0, "BRM2", linearization="newton")
+    res = solver.solve_fused(rtol=1e-10, max_steps=10)
+    assert res.converged
+    r = res.nonlinear_res
+    assert r[-1] < 1e-9 * r[0]
+    assert len(r) <= 8
+
+
 def test_mesh_independence():
     """Defining PCD property: outer counts ~flat under refinement."""
     counts = []
