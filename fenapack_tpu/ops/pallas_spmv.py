@@ -130,23 +130,26 @@ def ell_spmv(ell, x, tile_r: int = 256, interpret: bool = False):
 # XLA cannot express (f32 inputs + f64-accurate accumulation: XLA's
 # preferred_element_type=f64 emulation measured 24 ms).
 
-def _nbr_mode(nbr_bytes: int) -> str:
-    """SMEM strategy for the neighbor table.
+def _nbr_mode(nb_pad: int) -> str:
+    """SMEM strategy for the neighbor table, keyed on PADDED block rows.
 
     ``prefetch`` (PrefetchScalarGridSpec) holds the WHOLE nbr array in SMEM
-    — chip-proven at 2D bench scale, but SMEM is ~1 MB and the 3D 761k-dof
-    nbr is 4.5 MB (b=32) / 15.5 MB (b=8): the compile fails with
-    "Allocation would exceed memory (space=smem)" — the root cause of the
-    round-1 '761k worker crash' (diagnosed 2026-08-19 from the b=8 compile
-    error).  ``blocked`` streams per-grid-step (R, m) SMEM slices instead
-    (the kernel only ever reads its own panel's rows), removing the scale
-    ceiling.  FENAPACK_BSR_SMEM: auto (by size) | blocked | prefetch.
+    — chip-proven at 2D bench scale, but SMEM is ~1 MB and Mosaic pads the
+    (nb, m) i32 table's minor dim to 128 LANES regardless of m: the real
+    SMEM footprint is ``nb_pad * 128 * 4`` bytes, NOT ``nb * m * 4``.
+    (Measured from AOT compile errors 2026-08-19: 2d-l3 b=8 nb_pad=5704
+    → 'u8[2920448] would exceed memory (space=smem)' = 5704*128*4 exactly;
+    the 3D 761k b=8 failure u8[15548416] matches the same formula — the
+    root cause of the round-1 '761k worker crash'.)  ``blocked`` streams
+    per-grid-step (R, m) SMEM slices instead (the kernel only ever reads
+    its own panel's rows), removing the scale ceiling.
+    FENAPACK_BSR_SMEM: auto (by padded size) | blocked | prefetch.
     """
     import os
     mode = os.environ.get("FENAPACK_BSR_SMEM", "auto")
     if mode in ("blocked", "prefetch"):
         return mode
-    return "prefetch" if nbr_bytes <= 512 * 1024 else "blocked"
+    return "prefetch" if nb_pad * 128 * 4 <= 512 * 1024 else "blocked"
 
 
 def _make_bsr_kernel(blocked: bool):
@@ -221,7 +224,7 @@ class PallasBSRSpMV:
             tiles = jnp.pad(tiles, ((0, self.nb_pad - nb), (0, 0), (0, 0)))
             nbr = jnp.pad(nbr, ((0, self.nb_pad - nb), (0, 0)))
             nb = self.nb_pad
-        blocked = _nbr_mode(nbr.size * 4) == "blocked"
+        blocked = _nbr_mode(nb) == "blocked"
         scratch = []
         if self.variant == "scratch":
             kernel = _make_bsr_kernel(blocked)
@@ -431,7 +434,7 @@ class DF32BlockSpMV:
             x3 = self.split_x(x)
         R, b, mbp = self.R, self.b, self.m_pad * self.b
         nb = self.nb_pad
-        blocked = _nbr_mode(self.nbr.size * 4) == "blocked"
+        blocked = _nbr_mode(self.nb_pad) == "blocked"
         if blocked:
             in_specs = [
                 pl.BlockSpec((R, self.m_pad), lambda i: (i, 0),

@@ -27,6 +27,7 @@ reference's usage (inner Richardson+AMG at fixed iteration counts).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -348,8 +349,18 @@ def make_gmg_solver(hierarchy: PressureHierarchy, cfg: SubsolveConfig,
 
     asm0, Ap0, mask0 = hierarchy.levels[0]
     # dense coarse operator built ON DEVICE (a scipy export would fetch
-    # device values: the first d2h transfer costs 30-500 s via the tunnel)
-    if mask0 is None:
+    # device values: the first d2h transfer costs 30-500 s via the tunnel).
+    # Past FENAPACK_GMG_DENSE_MAX the explicit inverse is infeasible (HBM
+    # quadratic; LU panels overflow scoped VMEM at AOT compile) — fall back
+    # to a Chebyshev coarse solve with measured Jacobi-scaled bounds (the
+    # coarse operator is SPD, so Chebyshev is the right iterative solve).
+    dense_cap = int(os.environ.get("FENAPACK_GMG_DENSE_MAX", "8192"))
+    if Ap0.shape[0] > dense_cap:
+        lmin, lmax = subsolve.power_bounds(matvecs[0], dinvs[0],
+                                           Ap0.shape[0], dtype=dtype)
+        coarse = subsolve.chebyshev_solver(matvecs[0], dinvs[0], lmin, lmax,
+                                           iters=max(16, 4 * cfg.smooth_iters))
+    elif mask0 is None:
         # enclosed flow: regularize the singular coarse Neumann operator
         A = asm0.pat_p1.to_dense(Ap0.vals).astype(dtype)
         A = A + 1.0 / A.shape[0]                    # rank-1 constant shift
@@ -649,11 +660,30 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
             vtransfers.append(_VectorTransfer(vh.transfers[l - 1],
                                               vh.asms[l - 1].n2, n2, d=d))
 
-    # coarse solve: dense masked LU of the traced coarse operator
+    # coarse solve: dense masked LU of the traced coarse operator — but
+    # only when the coarse space is genuinely small.  On meshes whose base
+    # level is already fine (e.g. the DFG cylinder geometry: the circle
+    # needs resolution, so the l=0 P2 space is ~18.6k dofs) an explicit
+    # inverse is 1.4 GB of HBM and its LU panel overflows scoped VMEM at
+    # AOT compile ("LuDecompositionBlock ... exceeded scoped vmem limit",
+    # measured 2026-08-19).  Past the cap, fall back to a truncated
+    # V-cycle: the coarse "solve" is a fixed budget of minimal-residual
+    # smoothing sweeps (robust for the nonsymmetric velocity operator);
+    # FGMRES is flexible, so an inexact coarse solve only shifts iteration
+    # counts slightly.
     asm0 = vh.asms[0]
     mask0 = masks_u[0]
+    dense_cap = int(os.environ.get("FENAPACK_GMG_DENSE_MAX", "8192"))
 
     def coarse_solve_factory():
+        if d * asm0.n2 > dense_cap:
+            mv0, dinv0 = matvecs[0], dinvs[0]
+            sweeps = max(8, 2 * cfg.smooth_iters)
+
+            def iterative_coarse(b):
+                x = _minres_smooth(mv0, dinv0, sweeps, b, jnp.zeros_like(b))
+                return _minres_smooth(mv0, dinv0, sweeps, b, x)
+            return iterative_coarse
         A1vals, Rv = level_vals_cache[0]
         A1 = asm0.pat_p2.to_dense(A1vals)
         Z = jnp.zeros_like(A1)

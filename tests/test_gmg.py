@@ -141,3 +141,21 @@ def test_transfer_maxfill_fallback_parity(monkeypatch):
     assert np.allclose(np.asarray(t2_block.restrict(jnp.asarray(r2))),
                        np.asarray(t2_gather.restrict(jnp.asarray(r2))),
                        rtol=0, atol=1e-14)
+
+
+def test_iterative_coarse_fallback_converges(monkeypatch):
+    """With FENAPACK_GMG_DENSE_MAX forced to 1, both hierarchies take the
+    iterative coarse-solve path (velocity: minres sweeps; pressure:
+    Chebyshev with measured bounds) instead of a dense inverse — the guard
+    for base meshes whose l=0 space is already large (DFG cylinder: 18.6k
+    velocity dofs; the dense route OOMs scoped VMEM at AOT compile,
+    2026-08-19).  The end-to-end Picard solve must still converge, with
+    outer counts in a generous band of the dense-coarse path."""
+    dense = build_gmg_solver()
+    r_dense = dense.solve(rtol=1e-5, max_steps=20)
+    monkeypatch.setenv("FENAPACK_GMG_DENSE_MAX", "1")
+    it = build_gmg_solver()
+    r_it = it.solve(rtol=1e-5, max_steps=20)
+    assert r_it.converged, r_it.nonlinear_res
+    assert sum(r_it.linear_iters) <= 1.6 * sum(r_dense.linear_iters), (
+        r_it.linear_iters, r_dense.linear_iters)

@@ -113,3 +113,19 @@ def test_df32_oseen_matvec_parity():
     yr = np.asarray(ref._matvec_factory(A1r, Rr, hi=True)(x))
     yn = np.asarray(new._matvec_factory(A1n, Rn, hi=True)(x))
     assert np.abs(yn - yr).max() / np.abs(yr).max() < 1e-10
+
+
+def test_nbr_mode_counts_smem_lane_padding(monkeypatch):
+    """The prefetch/blocked auto choice must budget the PADDED SMEM
+    footprint nb_pad*128*4 (Mosaic pads the (nb, m) i32 table's minor dim
+    to 128 lanes), not the raw nb*m*4 bytes.  Regression for the 2d-l3 b=8
+    AOT failure: nb_pad=5704, m=11 -> raw 250 KB chose 'prefetch' but the
+    padded table is 2.92 MB > the ~1 MB SMEM (measured compile error
+    u8[2920448] == 5704*128*4, 2026-08-19)."""
+    from fenapack_tpu.ops.pallas_spmv import _nbr_mode
+    monkeypatch.delenv("FENAPACK_BSR_SMEM", raising=False)
+    assert _nbr_mode(1024) == "prefetch"          # 512 KB padded: fits
+    assert _nbr_mode(1025) == "blocked"
+    assert _nbr_mode(5704) == "blocked"           # the failing 2d-l3 shape
+    monkeypatch.setenv("FENAPACK_BSR_SMEM", "prefetch")
+    assert _nbr_mode(10**6) == "prefetch"         # explicit override wins
