@@ -71,7 +71,15 @@ def main():
     rows = []
 
     def measure(tag, case, n2, nnz, jfn, call_args, bytes_per_apply):
-        us = time_chain(jfn, call_args, args.chain) * 1e6
+        # one variant failing to compile must not lose the rest of the
+        # table (2026-08-19: pallas_b8 SMEM overflow killed the 3d rows)
+        try:
+            us = time_chain(jfn, call_args, args.chain) * 1e6
+        except Exception as e:                          # noqa: BLE001
+            row = {"case": case, "variant": tag, "error": str(e)[:200]}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            return
         gbs = bytes_per_apply / (us * 1e-6) / 1e9
         row = {"case": case, "variant": tag, "n_rows": n2, "nnz": int(nnz),
                "us_per_apply": round(us, 1), "gb_per_apply":
@@ -180,6 +188,10 @@ def main():
             "|---|---|---|---|---|---|---|---|",
         ]
         for r in rows:
+            if "error" in r:
+                lines.append(f"| {r['case']} | {r['variant']} | — | — "
+                             f"| failed: {r['error'][:60]} | — | — | — |")
+                continue
             lines.append(
                 f"| {r['case']} | {r['variant']} | {r['n_rows']} "
                 f"| {r['nnz']} | {r['us_per_apply']} | {r['gb_per_apply']} "
