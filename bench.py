@@ -203,46 +203,44 @@ def time_pcd_apply(nl, w, n_apply=200):
     kpvals = asm.kp_values(
         w[:nl.n_u].astype(oseen.dtype),
         surface=(nl.oseen.config.pcd.variant == "BRM2")).astype(oseen.dtype)
-    kp = asm.pat_p1.matrix(kpvals)
     r = jnp.asarray(np.random.default_rng(0).standard_normal(asm.n1),
                     dtype=oseen.dtype)
     r = r / jnp.linalg.norm(r)
 
-    @jax.jit
-    def chain(r):
-        def body(x, _):
-            y = oseen.pcd_apply(kp, x)
-            return y / jnp.linalg.norm(y), None
-        out, _ = jax.lax.scan(body, r, None, length=n_apply)
-        return out
+    def mk(kpvals):
+        kp = asm.pat_p1.matrix(kpvals)
+        return lambda x: oseen.pcd_apply(kp, x)
 
-    chain(r).block_until_ready()
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chain(r).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3 / n_apply)
+    return _time_chain(mk, kpvals, r, oseen._lift_roots, n_apply)
 
 
-def _time_chain(fn, x0, n_apply=100, reps=5):
-    """Median per-apply latency of ``fn`` amortized over ``n_apply`` chained
-    applies inside ONE jit program (normalized each step so values stay
-    finite; excludes host/tunnel dispatch)."""
+def _time_chain(make_fn, ops, x0, roots, n_apply=100, reps=5):
+    """Median per-apply latency of ``make_fn(ops)`` amortized over
+    ``n_apply`` chained applies inside ONE jit program (normalized each
+    step so values stay finite; excludes host/tunnel dispatch).
 
-    @jax.jit
-    def chain(x):
+    ``ops`` (a pytree of device arrays) rides as an explicit jit argument
+    and solver-state arrays are lifted through ``roots`` — closures that
+    inline big operands serialize them into the remote compile request
+    and overflow it (HTTP 413) at level >= 2 scale.
+    """
+    from fenapack_tpu.runtime import lift_jit
+
+    def chain(ops, x):
+        fn = make_fn(ops)
+
         def body(x, _):
             y = fn(x)
             return y / jnp.linalg.norm(y), None
         out, _ = jax.lax.scan(body, x, None, length=n_apply)
         return out
 
-    chain(x0).block_until_ready()
+    jfn = lift_jit(chain, roots)
+    jfn(ops, x0).block_until_ready()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        chain(x0).block_until_ready()
+        jfn(ops, x0).block_until_ready()
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1e3 / n_apply)
 
@@ -258,20 +256,26 @@ def stage_breakdown(nl, w, wall_s, total_iters, n_apply=100):
     dt_hi = jnp.dtype(asm.dtype)
     rng = np.random.default_rng(1)
     wind = w[:nl.n_u].astype(oseen.dtype)
+    roots = oseen._lift_roots
 
     hik = oseen.config.krylov.hi_krylov
     # the outer matvec actually used per iteration: hi (df32/f64) under
     # hi_krylov or hi_matvec, else the compute-precision one
-    A1h, Rh = oseen._operator_values_raw(w[:nl.n_u].astype(dt_hi), hi=True)
-    matvec_hi = oseen._matvec_factory(A1h, Rh, hi=True)
-    matvec_lo, pc = oseen._pipeline(wind)
-    outer_mv = (matvec_hi if (hik or oseen.config.krylov.hi_matvec)
-                else matvec_lo)
-    mv_dt = dt_hi if (hik or oseen.config.krylov.hi_matvec) else oseen.dtype
-
+    hi_mv = hik or oseen.config.krylov.hi_matvec
+    mv_dt = dt_hi if hi_mv else oseen.dtype
     x_n = jnp.asarray(rng.standard_normal(oseen.n))
-    mv_ms = _time_chain(outer_mv, x_n.astype(mv_dt), n_apply)
-    pc_ms = _time_chain(pc, x_n.astype(oseen.dtype), n_apply)
+
+    if hi_mv:
+        A1h, Rh = oseen._operator_values_raw(w[:nl.n_u].astype(dt_hi),
+                                             hi=True)
+        mv_ms = _time_chain(
+            lambda ops: oseen._matvec_factory(ops[0], ops[1], hi=True),
+            (A1h, Rh), x_n.astype(mv_dt), roots, n_apply)
+    else:
+        mv_ms = _time_chain(lambda wd: oseen._pipeline(wd)[0], wind,
+                            x_n.astype(mv_dt), roots, n_apply)
+    pc_ms = _time_chain(lambda wd: oseen._pipeline(wd)[1], wind,
+                        x_n.astype(oseen.dtype), roots, n_apply)
 
     # PC internals (sum ~= pc_ms; the difference is fieldsplit glue)
     cfg = oseen.config
@@ -279,16 +283,17 @@ def stage_breakdown(nl, w, wall_s, total_iters, n_apply=100):
     A1pc = A1vals
     if cfg.jpc_supg and not cfg.system_supg:
         A1pc = A1vals + asm.supg_values(wind).astype(oseen.dtype)
-    a_solve = oseen._velocity_solver(A1pc, R, wind=wind)
     x_u = jnp.asarray(rng.standard_normal(nl.n_u), dtype=oseen.dtype)
-    vel_ms = _time_chain(a_solve, x_u, n_apply)
+    vel_ms = _time_chain(
+        lambda ops: oseen._velocity_solver(ops[0], ops[1], wind=ops[2]),
+        (A1pc, R, wind), x_u, roots, n_apply)
     pcd_ms = time_pcd_apply(nl, w, n_apply)
     # B^T maps p -> u (rectangular): keep the chain carry in p-space by
     # folding the output back through its norm
     x_p = jnp.asarray(rng.standard_normal(asm.n1), dtype=oseen.dtype)
     bt_ms = _time_chain(
-        lambda p: p * (1.0 + jnp.linalg.norm(oseen._bt_mv(p))), x_p,
-        n_apply)
+        lambda _: (lambda p: p * (1.0 + jnp.linalg.norm(oseen._bt_mv(p)))),
+        jnp.zeros(0), x_p, roots, n_apply)
 
     per_iter_ms = wall_s * 1e3 / max(total_iters, 1)
     attributed = mv_ms + pc_ms
@@ -343,7 +348,14 @@ def main():
     pcd_ms = time_pcd_apply(nl, w)
     breakdown = None
     if os.environ.get("BENCH_BREAKDOWN", "1") == "1":
-        breakdown = stage_breakdown(nl, w, wall, sum(iters))
+        # never lose the headline JSON to an instrumentation failure: the
+        # driver records bench.py's single line as the round's benchmark
+        try:
+            breakdown = stage_breakdown(nl, w, wall, sum(iters))
+        except Exception as e:                      # noqa: BLE001
+            print(f"bench: stage_breakdown failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            breakdown = {"error": str(e)[:200]}
 
     golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden_counts.json")

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--dtype", default=None,
                     help="float32|float64 (default: f64 on CPU, f32 on TPU)")
     ap.add_argument("--vtk", default=None, help="write solution VTK file")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the solve "
+                         "(view in TensorBoard/Perfetto)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +58,7 @@ def main():
     from fenapack_tpu.solvers.config import SolverConfig, overrides
     from fenapack_tpu.solvers.nonlinear import NonlinearSolver
     from fenapack_tpu.solvers import gmg
-    from fenapack_tpu.utils.timing import Timings
+    from fenapack_tpu.utils.timing import Timings, device_trace
     from fenapack_tpu.utils.io import save_vtk
 
     dtype = args.dtype or ("float64" if jax.default_backend() == "cpu"
@@ -105,7 +108,7 @@ def main():
     print(f"solver: {args.nls} + PCD-{args.pcd} FGMRES ({args.ls} subsolves, "
           f"dtype {dtype})")
 
-    with timings("nonlinear solve"):
+    with timings("nonlinear solve"), device_trace(args.trace):
         res = solver.solve(rtol=args.rtol, verbose=True)
 
     print(f"\nconverged: {res.converged}  "

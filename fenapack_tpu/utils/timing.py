@@ -37,3 +37,27 @@ class Timings:
 
 
 GLOBAL_TIMINGS = Timings()
+
+
+@contextmanager
+def device_trace(trace_dir: str | None):
+    """Capture a ``jax.profiler`` device trace around a code region.
+
+    The TPU-native analogue of PETSc ``-log_view`` stage logs / DOLFIN's
+    timed regions at DEVICE granularity: per-HLO timings, HBM traffic and
+    fusion boundaries, viewable in TensorBoard/Perfetto (reference parity:
+    SURVEY.md section 5.1).  No-op when ``trace_dir`` is falsy, so callers
+    can thread an optional CLI flag straight through:
+
+        with device_trace(args.trace):
+            solver.solve(...)
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
