@@ -328,28 +328,38 @@ def _comp_tree_rowsum(s):
     return jnp.sum(s, axis=1), err
 
 
-def _make_bsr_df32_kernel(blocked: bool):
-    def kernel(nbr_ref, t1_ref, t2_ref, tl_ref,
-               x1_ref, x2_ref, xl_ref,
-               s_ref, c_ref, g1_ref, g2_ref, gl_ref):
+def _make_bsr_df32_kernel(blocked: bool, nrhs: int = 1):
+    """``nrhs`` right-hand sides share one pass over the tile planes: the
+    velocity block applies the SAME scalar operator to every component, so
+    a d-RHS kernel streams the (3x) tile planes from HBM once instead of d
+    times (the tiles dominate the traffic: m*b f32 per row vs b per x)."""
+    def kernel(*refs):
+        nbr_ref = refs[0]
+        t1_ref, t2_ref, tl_ref = refs[1:4]
+        xrefs = refs[4:4 + 3 * nrhs]
+        outs = refs[4 + 3 * nrhs:4 + 5 * nrhs]
+        g1_ref, g2_ref, gl_ref = refs[-3:]
         R, b, mb = t1_ref.shape
         m = mb // b
         base = 0 if blocked else pl.program_id(0) * R
         for r in range(R):
-            for j in range(m):
-                blk = pl.ds(nbr_ref[base + r, j], 1)
-                g1_ref[0, j * b:(j + 1) * b] = x1_ref[blk, :][0]
-                g2_ref[0, j * b:(j + 1) * b] = x2_ref[blk, :][0]
-                gl_ref[0, j * b:(j + 1) * b] = xl_ref[blk, :][0]
             t1, t2, tl = t1_ref[r], t2_ref[r], tl_ref[r]
-            g1, g2, gl = g1_ref[:], g2_ref[:], gl_ref[:]
-            p0 = t1 * g1                             # exact
-            pm = t1 * g2 + t2 * g1 + t2 * g2         # exact products
-            q = (t1 + t2) * gl + tl * (g1 + g2)      # ~2^-24-relative terms
-            s, e = _twosum(p0, pm)                   # elementwise merge
-            row, tree_err = _comp_tree_rowsum(s)
-            s_ref[r, :] = row
-            c_ref[r, :] = tree_err + jnp.sum(e + q, axis=1)
+            for k in range(nrhs):
+                x1_ref, x2_ref, xl_ref = xrefs[3 * k:3 * k + 3]
+                s_ref, c_ref = outs[2 * k], outs[2 * k + 1]
+                for j in range(m):
+                    blk = pl.ds(nbr_ref[base + r, j], 1)
+                    g1_ref[0, j * b:(j + 1) * b] = x1_ref[blk, :][0]
+                    g2_ref[0, j * b:(j + 1) * b] = x2_ref[blk, :][0]
+                    gl_ref[0, j * b:(j + 1) * b] = xl_ref[blk, :][0]
+                g1, g2, gl = g1_ref[:], g2_ref[:], gl_ref[:]
+                p0 = t1 * g1                             # exact
+                pm = t1 * g2 + t2 * g1 + t2 * g2         # exact products
+                q = (t1 + t2) * gl + tl * (g1 + g2)      # ~2^-24-rel terms
+                s, e = _twosum(p0, pm)                   # elementwise merge
+                row, tree_err = _comp_tree_rowsum(s)
+                s_ref[r, :] = row
+                c_ref[r, :] = tree_err + jnp.sum(e + q, axis=1)
     return kernel
 
 
@@ -427,11 +437,16 @@ class DF32BlockSpMV:
         xp = jnp.pad(x, (0, self.ncb - self.n_cols))
         return tuple(p.reshape(-1, self.b) for p in split_f64(xp))
 
-    def __call__(self, tiles3, x=None, x3=None):
+    def __call__(self, tiles3, x=None, x3=None, xs3=None):
         """Apply.  Pass f64 ``x`` OR a pre-split ``x3`` (from
-        :meth:`split_x`) when several operators share one input vector."""
-        if x3 is None:
-            x3 = self.split_x(x)
+        :meth:`split_x`) when several operators share one input vector, OR
+        ``xs3`` — a LIST of pre-split inputs — to apply the operator to
+        several right-hand sides in one kernel pass (returns a list): the
+        d velocity components share one streaming of the tile planes."""
+        single = xs3 is None
+        if single:
+            xs3 = [x3 if x3 is not None else self.split_x(x)]
+        nrhs = len(xs3)
         R, b, mbp = self.R, self.b, self.m_pad * self.b
         nb = self.nb_pad
         blocked = _nbr_mode(self.nb_pad) == "blocked"
@@ -442,17 +457,17 @@ class DF32BlockSpMV:
             ] + [
                 pl.BlockSpec((R, b, mbp), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)] * 3 + [
-                pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * nrhs)
             out_specs = [pl.BlockSpec((R, b), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM)] * 2
+                                      memory_space=pltpu.VMEM)] * (2 * nrhs)
             n_prefetch = 0
         else:
             in_specs = [
                 pl.BlockSpec((R, b, mbp), lambda i, nbr: (i, 0, 0),
                              memory_space=pltpu.VMEM)] * 3 + [
-                pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * nrhs)
             out_specs = [pl.BlockSpec((R, b), lambda i, nbr: (i, 0),
-                                      memory_space=pltpu.VMEM)] * 2
+                                      memory_space=pltpu.VMEM)] * (2 * nrhs)
             n_prefetch = 1
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
@@ -461,6 +476,7 @@ class DF32BlockSpMV:
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((1, mbp), jnp.float32)] * 3,
         )
+        xflat = [p for x3_ in xs3 for p in x3_]
         # trace the kernel with x64 semantics OFF: under global
         # jax_enable_x64 the Mosaic lowering embeds i64 index arithmetic
         # that crashes the backend compiler (bisected 2026-08-17: the
@@ -468,12 +484,16 @@ class DF32BlockSpMV:
         # size).  All kernel operands are explicit f32/i32, so the scoped
         # disable changes nothing semantically.
         with jax.enable_x64(False):
-            s, c = pl.pallas_call(
-                _make_bsr_df32_kernel(blocked),
+            outs = pl.pallas_call(
+                _make_bsr_df32_kernel(blocked, nrhs),
                 out_shape=[jax.ShapeDtypeStruct((nb, b),
-                                                jnp.float32)] * 2,
+                                                jnp.float32)] * (2 * nrhs),
                 grid_spec=grid_spec,
                 interpret=self.interpret,
-            )(self.nbr, *tiles3, *x3)
-        y = s.astype(jnp.float64) + c.astype(jnp.float64)
-        return y.reshape(-1)[:self.n_rows]
+            )(self.nbr, *tiles3, *xflat)
+        ys = []
+        for k in range(nrhs):
+            s, c = outs[2 * k], outs[2 * k + 1]
+            y = s.astype(jnp.float64) + c.astype(jnp.float64)
+            ys.append(y.reshape(-1)[:self.n_rows])
+        return ys[0] if single else ys

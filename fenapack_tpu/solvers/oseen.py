@@ -444,8 +444,10 @@ class OseenSolver:
             comp3 = [A1op.split_x(comp) for comp in comps]
             p = x[n_u:]
             p3 = DTop.split_x(p)
-            ys = [A1op(A1t, x3=comp3[a]) + DTop(DTt[a], x3=p3)
-                  for a in range(d)]
+            # all d components ride ONE kernel pass over the A1 tile
+            # planes (multi-RHS): the tiles dominate the HBM traffic
+            yA = A1op(A1t, xs3=comp3)
+            ys = [yA[a] + DTop(DTt[a], x3=p3) for a in range(d)]
             if Rt is not None:
                 for a in range(d):
                     for b in range(d):

@@ -129,3 +129,29 @@ def test_nbr_mode_counts_smem_lane_padding(monkeypatch):
     assert _nbr_mode(5704) == "blocked"           # the failing 2d-l3 shape
     monkeypatch.setenv("FENAPACK_BSR_SMEM", "prefetch")
     assert _nbr_mode(10**6) == "prefetch"         # explicit override wins
+
+
+def test_df32_multirhs_matches_single():
+    """xs3 multi-RHS (one tile-plane pass for all velocity components)
+    must be bit-identical to per-component single-RHS applies — same
+    arithmetic, shared streaming."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fenapack_tpu.ops.sparse import pattern_from_dofmaps
+    from fenapack_tpu.ops.pallas_spmv import DF32BlockSpMV
+    rng = np.random.default_rng(7)
+    n = 512
+    cd = rng.integers(0, n, size=(300, 6)).astype(np.int64)
+    pat = pattern_from_dofmaps(cd, cd, n, n, block=32)
+    vals = rng.standard_normal((300, 6, 6))
+    bell = pat.assemble(jnp.asarray(vals, dtype=jnp.float64))
+    op = DF32BlockSpMV(bell, interpret=True)
+    t3 = op.split_tiles(bell.tiles)
+    xs = [jnp.asarray(rng.standard_normal(n), dtype=jnp.float64)
+          for _ in range(2)]
+    xs3 = [op.split_x(x) for x in xs]
+    singles = [np.asarray(op(t3, x3=x3)) for x3 in xs3]
+    multi = op(t3, xs3=xs3)
+    assert len(multi) == 2
+    for ys, ym in zip(singles, multi):
+        assert np.array_equal(ys, np.asarray(ym))
