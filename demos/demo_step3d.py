@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def make_parser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-l", "--level", type=int, default=1)
     ap.add_argument("--length", type=float, default=3.0,
@@ -43,8 +43,11 @@ def main():
     ap.add_argument("--maxiter", type=int, default=300,
                     help="Krylov dimension (V+Z basis = 2*maxiter*n floats; "
                          "shrink at large n — IR restarts compensate)")
-    args = ap.parse_args()
+    return ap
 
+
+def build(args):
+    """Construct the config-4 solver; shared with scripts/bench3d_breakdown."""
     import jax
     from fenapack_tpu.jax_setup import setup as jax_setup
     # x64 always: assembly/residual run in f64 (compact ELL layout) so the
@@ -125,6 +128,13 @@ def main():
     ndof = 3 * asm.n2_real + asm.n1_real
     print(f"3D step l={args.level}  nu={args.nu}  cells {mesh.num_cells}  "
           f"dofs {ndof}  setup {time.perf_counter() - t0:.1f}s")
+    return solver
+
+
+def main():
+    args = make_parser().parse_args()
+    solver = build(args)
+    asm = solver.asm
 
     # fused driver: one device call per step, true-residual IR restarts
     res = solver.solve_fused(rtol=args.rtol, verbose=True, max_steps=20,

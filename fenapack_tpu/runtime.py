@@ -85,9 +85,13 @@ def collect_sites(roots: Sequence[Any]) -> List[Tuple[Any, str]]:
                 import warnings
                 warnings.warn(
                     "lift_jit: big device array inside a mixed container "
-                    "cannot be lifted — it inlines into the program and "
-                    "later mutations are ignored; store it on an object "
-                    "attribute or a runtime.Holder", stacklevel=2)
+                    f"(shape {o.shape}, dtype {o.dtype}, "
+                    f"{o.size * o.dtype.itemsize / 1e6:.1f} MB) cannot be "
+                    "lifted — it inlines into the program and later "
+                    "mutations are ignored; store it on an object "
+                    "attribute or a runtime.Holder "
+                    "(scripts/probe_lift_sites.py locates the path)",
+                    stacklevel=2)
             continue
         if isinstance(o, (tuple, list)):
             stack.extend(o)
