@@ -56,13 +56,16 @@ def block_layout_ok(pat, scale: float = 1.0) -> bool:
     return pat.nb * pat.m * pat.block * pat.block * 4 <= scale * maxbytes
 
 
-def _use_pallas_bsr(nb: int, dtype) -> bool:
+def _use_pallas_bsr(nb: int, dtype, block: int = 32) -> bool:
     """Route the block SpMV through the Pallas BSR kernel?
 
-    XLA's flat-tile einsum is fine at bench scale (0.35 ms vs Pallas
-    0.41 ms at nb=832) but degrades to ~50 GB/s of effective HBM bandwidth
-    at 3D scale — the kernel streams tiles at speed-of-light instead.
-    FENAPACK_PALLAS_BSR: auto (TPU + f32 + nb >= threshold) | 1 | 0.
+    Measured on TPU v5e (doc/spmv_table.md, 2026-08-19): the Pallas kernel
+    wins ONLY for b=32 tiles at 3D scale (3d-l3 nb=7592: 2084 us vs XLA
+    2262 us, 449 GB/s = 55% of roofline); for b=8/b=16 the (nb, b, m*b)
+    tiles leave the 8x128 vregs underfilled and XLA's flat einsum wins at
+    every scale (3d-l3 b=16 nb=15183: XLA 2508 us vs Pallas 4909 us).
+    FENAPACK_PALLAS_BSR: auto (TPU + f32 + b >= 32 + nb >= threshold)
+    | 1 | 0.
     """
     import os
     mode = os.environ.get("FENAPACK_PALLAS_BSR", "auto")
@@ -72,6 +75,8 @@ def _use_pallas_bsr(nb: int, dtype) -> bool:
         return False
     if mode == "1":
         return True
+    if block < 32:
+        return False
     return nb >= int(os.environ.get("FENAPACK_PALLAS_BSR_NB", "4096"))
 
 
@@ -188,7 +193,7 @@ class BlockELL:
             g = xb.reshape(ncb // b, b, k)[self.nbr].reshape(nb, mb, k)
             y = jnp.einsum("bik,bkj->bij", self.tiles, g)
             return y.reshape(-1, k)[:self.n_rows]
-        if _use_pallas_bsr(nb, self.tiles.dtype):
+        if _use_pallas_bsr(nb, self.tiles.dtype, block=b):
             from .pallas_spmv import PallasBSRSpMV
             return PallasBSRSpMV(self, rows_per_step=8,
                                  variant="scratch")(x)

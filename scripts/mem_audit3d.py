@@ -1,24 +1,28 @@
 #!/usr/bin/env python
-"""Device-memory audit of the config-4 3D setup (761k dofs OOM hunt).
+"""Device-memory audit of the config-4 3D setup (2M-dof OOM hunt).
 
-Replicates demo_step3d.py's setup phase by phase, printing TPU memory_stats
-and the top live device arrays after each, so the resident-set growth that
-exhausts the 16 GB HBM is attributable to a specific structure.
+Replicates demos/demo_step3d.py's build() phase by phase, printing
+memory_stats (TPU) and the top live arrays after each, so the resident-set
+growth that exhausts the 16 GB HBM is attributable to a specific structure.
+Off-TPU (JAX_PLATFORMS=cpu) the same inventory is valid — the array set is
+backend-independent; only memory_stats is TPU-only.
 
-    python scripts/mem_audit3d.py -l 3
+    python scripts/mem_audit3d.py -l 3 --length 9 --block 8
+    python scripts/mem_audit3d.py -l 3 --length 9 --block 8 --solver --residual
 """
 import argparse
 import collections
 import os
 import sys
 import time
+import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def report(tag):
+def report(tag, top=14):
     import jax
     dev = jax.devices()[0]
     try:
@@ -30,19 +34,22 @@ def report(tag):
               f"limit {lim:.2f} GB", flush=True)
     except Exception as e:
         print(f"[{tag}] memory_stats unavailable: {e}", flush=True)
-    # aggregate live arrays by (shape, dtype)
+    # aggregate live arrays by (shape, dtype); on a CPU backend the arrays
+    # ARE the audit (same set the TPU run would hold), so don't filter them
+    on_cpu = jax.default_backend() == "cpu"
     agg = collections.Counter()
     try:
         for a in jax.live_arrays():
             if getattr(a, "is_deleted", lambda: False)():
                 continue
             try:
-                if a.devices() and list(a.devices())[0].platform == "cpu":
+                if (not on_cpu and a.devices()
+                        and list(a.devices())[0].platform == "cpu"):
                     continue
             except Exception:
                 pass
             agg[(str(a.shape), str(a.dtype))] += a.nbytes
-        for (shape, dt), nb in agg.most_common(14):
+        for (shape, dt), nb in agg.most_common(top):
             print(f"    {nb/1e6:10.1f} MB  {shape} {dt}", flush=True)
         print(f"    total live: {sum(agg.values())/1e9:.2f} GB", flush=True)
     except Exception as e:
@@ -54,7 +61,23 @@ def main():
     ap.add_argument("-l", "--level", type=int, default=3)
     ap.add_argument("--length", type=float, default=3.0)
     ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--nu", type=float, default=0.05)
+    ap.add_argument("--maxiter", type=int, default=120)
+    ap.add_argument("--dtype", default="float32",
+                    help="compute dtype (demo default on TPU)")
+    ap.add_argument("--solver", action="store_true",
+                    help="also build the NonlinearSolver (demo parity)")
+    ap.add_argument("--residual", action="store_true",
+                    help="lift + run the hi-precision residual once "
+                         "(catches lift_jit inline warnings; implies "
+                         "--solver)")
+    ap.add_argument("--compile-ir", action="store_true",
+                    help="lower + compile the IR solve program and print "
+                         "XLA memory_analysis (slow at scale; implies "
+                         "--solver)")
     args = ap.parse_args()
+    if args.residual or args.compile_ir:
+        args.solver = True
 
     import jax
     from fenapack_tpu.jax_setup import setup as jax_setup
@@ -64,6 +87,7 @@ def main():
     from fenapack_tpu.fem.assemble import NSAssembler
     from fenapack_tpu.solvers import gmg
 
+    warnings.simplefilter("always")
     print("backend:", jax.default_backend(), flush=True)
     report("start")
 
@@ -76,27 +100,92 @@ def main():
     report("hierarchy")
 
     t0 = time.time()
-    asm = NSAssembler(mesh, 0.05, dtype=jnp.float64, quad_degree=4,
+    bdt = jnp.float32 if args.dtype == "float32" else jnp.float64
+    asm = NSAssembler(mesh, args.nu, dtype=jnp.float64, quad_degree=4,
                       block_size=args.block or None,
-                      block_dtype=jnp.float32)
+                      block_dtype=jnp.float32 if args.dtype == "float32"
+                      else None)
     print(f"NSAssembler {time.time()-t0:.1f}s "
           f"dofs={3*asm.n2_real + asm.n1_real}", flush=True)
     report("assembler")
 
     t0 = time.time()
-    ap_h = gmg.PressureHierarchy(hier, jnp.float32,
+    ap_h = gmg.PressureHierarchy(hier, bdt,
                                  pcd_markers=[meshmod.OUTFLOW],
                                  block_size=args.block or None,
-                                 reorder=bool(args.block))
+                                 reorder=bool(args.block),
+                                 fine_asm=asm)
     print(f"PressureHierarchy {time.time()-t0:.1f}s", flush=True)
     report("pressure_hier")
 
     t0 = time.time()
-    v_h = gmg.VelocityHierarchy(hier, 0.05, jnp.float32,
+    v_h = gmg.VelocityHierarchy(hier, args.nu, bdt,
                                 bc_markers=[meshmod.WALL, meshmod.INFLOW],
                                 fine_asm=asm, block_size=args.block or None)
     print(f"VelocityHierarchy {time.time()-t0:.1f}s", flush=True)
     report("velocity_hier")
+
+    if not args.solver:
+        return
+
+    from fenapack_tpu.fem.dofmap import DirichletBC
+    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+
+    def inflow(x):
+        v = np.zeros((x.shape[0], 3))
+        v[:, 0] = 16.0 * x[:, 1] * (1 - x[:, 1]) * x[:, 2] * (1 - x[:, 2])
+        return v
+
+    bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
+                                lambda x: np.zeros((x.shape[0], 3))),
+           DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+    over = {"pcd.variant": "BRM2", "dtype": args.dtype,
+            "velocity.method": "gmg", "velocity.smooth_iters": 3,
+            "velocity.cycles": 2, "pcd.ap.method": "gmg",
+            "pcd.mp.method": "chebyshev",
+            "krylov.maxiter": min(args.maxiter, 120),
+            "krylov.rtol": 2e-6 if args.dtype == "float32" else 1e-8}
+    cfg = overrides(SolverConfig(), over)
+    t0 = time.time()
+    solver = NonlinearSolver(asm, bcs, cfg, linearization="picard",
+                             ap_hierarchy=ap_h, velocity_hierarchy=v_h)
+    print(f"NonlinearSolver {time.time()-t0:.1f}s", flush=True)
+    report("solver")
+
+    if args.residual:
+        t0 = time.time()
+        res_fn = solver.make_residual_hi()
+        w = solver.initial_state()
+        F, rn = res_fn(w)
+        rn = float(rn)
+        print(f"residual lift+run {time.time()-t0:.1f}s  |F|={rn:.3e}",
+              flush=True)
+        report("residual")
+
+    if args.compile_ir:
+        t0 = time.time()
+        n_u = solver.n_u
+        ir = solver.oseen.make_ir_solve(2e-6 if args.dtype == "float32"
+                                        else 1e-8, _jit=False)
+        n = n_u + solver.asm.n1
+        lowered = jax.jit(ir).lower(
+            jax.ShapeDtypeStruct((n_u,), jnp.float64),
+            jax.ShapeDtypeStruct((n,), jnp.float64))
+        print(f"IR lowered {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        compiled = lowered.compile()
+        print(f"IR compiled {time.time()-t0:.1f}s", flush=True)
+        try:
+            ma = compiled.memory_analysis()
+            print(f"  temp {ma.temp_size_in_bytes/1e9:.2f} GB  "
+                  f"args {ma.argument_size_in_bytes/1e9:.2f} GB  "
+                  f"out {ma.output_size_in_bytes/1e9:.2f} GB  "
+                  f"gen {ma.generated_code_size_in_bytes/1e6:.1f} MB",
+                  flush=True)
+        except Exception as e:
+            print(f"  memory_analysis unavailable: {e}", flush=True)
+        report("ir_compiled")
 
 
 if __name__ == "__main__":
