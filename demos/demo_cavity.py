@@ -33,7 +33,7 @@ def main():
 
     import jax
     from fenapack_tpu.jax_setup import setup as jax_setup
-    jax_setup(x64=args.dtype in (None, "float64"))
+    jax_setup(x64=args.dtype in (None, "float64", "mixed"))
     import jax.numpy as jnp
 
     from fenapack_tpu.fem import mesh as meshmod

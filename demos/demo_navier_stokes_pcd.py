@@ -40,7 +40,12 @@ def main():
                     help="nonlinear relative tolerance")
     ap.add_argument("--krylov-rtol", type=float, default=1e-8)
     ap.add_argument("--dtype", default=None,
-                    help="float32|float64 (default: f64 on CPU, f32 on TPU)")
+                    help="float32|float64|mixed (default: f64 on CPU, "
+                         "mixed on TPU).  'mixed' is the TPU production "
+                         "mode: f64 assembler/residual + f32 FGMRES with "
+                         "true-residual IR restarts (solve_fused) — the "
+                         "pure-f32 residual plateaus at ~2e-5 relative, "
+                         "just above the default --rtol")
     ap.add_argument("--vtk", default=None, help="write solution VTK file")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the solve "
@@ -49,7 +54,8 @@ def main():
 
     import jax
     from fenapack_tpu.jax_setup import setup as jax_setup
-    jax_setup(x64=args.dtype in (None, "float64"))
+    # mixed needs x64 too: its assembler/residual side is f64
+    jax_setup(x64=args.dtype in (None, "float64", "mixed"))
     import jax.numpy as jnp
 
     from fenapack_tpu.fem import mesh as meshmod
@@ -62,7 +68,7 @@ def main():
     from fenapack_tpu.utils.io import save_vtk
 
     dtype = args.dtype or ("float64" if jax.default_backend() == "cpu"
-                           else "float32")
+                           else "mixed")
     timings = Timings()
 
     with timings("mesh+assembly"):
@@ -73,7 +79,9 @@ def main():
             mesh = hier.fine
         else:
             mesh = meshmod.backward_step_mesh(args.level)
-        adtype = jnp.float64 if dtype == "float64" else jnp.float32
+        # mixed: f64 assembler (residual accuracy) + f32 solver operators
+        adtype = jnp.float32 if dtype == "float32" else jnp.float64
+        sdtype = "float64" if dtype == "float64" else "float32"
         asm = NSAssembler(mesh, args.nu, dtype=adtype)
 
         def inflow(x):
@@ -85,7 +93,7 @@ def main():
                                     lambda x: np.zeros((x.shape[0], 2))),
                DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
 
-        over = {"pcd.variant": args.pcd, "dtype": dtype,
+        over = {"pcd.variant": args.pcd, "dtype": sdtype,
                 "krylov.rtol": args.krylov_rtol, "jpc_supg": args.supg,
                 "system_supg": args.supg_system}
         if args.ls == "iterative":
@@ -93,9 +101,10 @@ def main():
                          "velocity.cycles": 2, "pcd.ap.method": "gmg"})
             marker = (meshmod.INFLOW if args.pcd == "BRM1"
                       else meshmod.OUTFLOW)
-            ap_h = gmg.PressureHierarchy(hier, adtype, pcd_markers=[marker])
+            hdtype = jnp.dtype(sdtype)
+            ap_h = gmg.PressureHierarchy(hier, hdtype, pcd_markers=[marker])
             v_h = gmg.VelocityHierarchy(
-                hier, args.nu, adtype,
+                hier, args.nu, hdtype,
                 bc_markers=[meshmod.WALL, meshmod.INFLOW], fine_asm=asm)
         cfg = overrides(SolverConfig(), over)
         solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls,
@@ -109,7 +118,11 @@ def main():
           f"dtype {dtype})")
 
     with timings("nonlinear solve"), device_trace(args.trace):
-        res = solver.solve(rtol=args.rtol, verbose=True)
+        if dtype == "mixed":
+            res = solver.solve_fused(rtol=args.rtol,
+                                     rtol_lin=args.krylov_rtol, verbose=True)
+        else:
+            res = solver.solve(rtol=args.rtol, verbose=True)
 
     print(f"\nconverged: {res.converged}  "
           f"nonlinear steps: {len(res.linear_iters)}")
