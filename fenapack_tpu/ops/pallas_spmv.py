@@ -311,17 +311,34 @@ def _twosum(a, b):
 def _comp_tree_rowsum(s):
     """Compensated binary-tree reduction over the lane axis.
 
-    ``s`` (b, W) with W a power of two -> (rowsum (b,), error (b,)).
-    Each level's TwoSum errors are themselves plain-summed (they are
-    ~2^-24 relative to the result, so their rounding is ~2^-48)."""
+    ``s`` (b, W) -> (rowsum (b,), error (b,)).  W halves while even; a
+    small odd remainder (W = odd * 2^k, odd <= ~7 for the mult-of-16
+    block padding) finishes with a sequential compensated fold.  Each
+    level's TwoSum errors are themselves plain-summed (they are ~2^-24
+    relative to the result, so their rounding is ~2^-48).
+
+    Mosaic notes: offset lane slices of COMPUTED values lower fine (the
+    pow2 tree always did ``s[:, half:]``); offset slices of ref-loaded
+    kernel operands do NOT ("Invalid input layout", probed 2026-08-19) —
+    that is why the caller reduces full-width products instead of
+    chunking the operands."""
     b, W = s.shape
     err = jnp.zeros((b,), s.dtype)
     while W > 1:
-        half = W // 2
-        t, e = _twosum(s[:, :half], s[:, half:])
-        err = err + jnp.sum(e, axis=1)
-        s = t
-        W = half
+        if W % 2 == 0:
+            half = W // 2
+            t, e = _twosum(s[:, :half], s[:, half:])
+            err = err + jnp.sum(e, axis=1)
+            s = t
+            W = half
+        else:
+            # odd W: sequential compensated fold over the few lanes left
+            acc = s[:, 0:1]
+            for i in range(1, W):
+                acc, e = _twosum(acc, s[:, i:i + 1])
+                err = err + jnp.sum(e, axis=1)
+            s = acc
+            W = 1
     # jnp.sum, not s[:, 0]: a lane-indexed extraction from a (b, 1) array
     # crashes the Mosaic backend compiler (bisected 2026-08-17); the sum
     # over the singleton lane axis is value-identical and lowers fine
@@ -387,8 +404,11 @@ class DF32BlockSpMV:
         tiles3 = op.split_tiles(vals)      # per operator update (Picard step)
         y = op(tiles3, x)                  # per apply; y is f64
 
-    The neighbor table is padded to a power-of-two block count m (repeating
-    block 0 with zero tiles) so the reduction tree halves cleanly.
+    The neighbor table is padded (repeating block 0 with zero tiles) to the
+    128-lane alignment multiple, nudged so the odd part of ``m_pad`` stays
+    small — the compensated reduction halves while even and finishes with a
+    short sequential fold (see ``_comp_tree_rowsum``), so no power-of-two
+    padding is needed.
     """
 
     def __init__(self, bell, rows_per_step: int = 8,
@@ -412,7 +432,26 @@ class DF32BlockSpMV:
             raise ValueError("rows_per_step must be a multiple of 8: the "
                              "(R, b) output block's sublane dim must be "
                              "8-divisible for the Mosaic lowering")
-        self.m_pad = 1 << (m - 1).bit_length()
+        # the generalized reduction tree (halve-while-even + short odd
+        # fold) frees m_pad from the next-power-of-two requirement that
+        # blew the scoped-VMEM budget of the nrhs=2 bench kernel (16.73M
+        # vs 16M, AOT compile error 2026-08-19).  Pad to the 128-lane
+        # alignment multiple, nudged so the odd part of m_pad stays <= 7
+        # (bounds the sequential fold): m=41/b=32 -> 48 not 64 (-25%
+        # VMEM + HBM traffic per tile plane), m=37/b=16 -> 40 not 64.
+        min_mult = max(1, 128 // b)
+        if b & (b - 1):                       # non-pow2 b: legacy pow2 pad
+            self.m_pad = max(1 << (m - 1).bit_length(), min_mult)
+        else:
+            mp = -(-m // min_mult) * min_mult
+            while True:
+                q = mp
+                while q % 2 == 0:
+                    q //= 2
+                if q <= 7:
+                    break
+                mp += min_mult
+            self.m_pad = mp
         self.b, self.m = b, m
         self.R = rows_per_step
         self.nb_pad = -(-nb // self.R) * self.R
