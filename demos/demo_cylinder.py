@@ -104,6 +104,10 @@ def main():
                     help="DFG 2D-2: Re=100 vortex shedding + Strouhal")
     ap.add_argument("--t-end", type=float, default=8.0)
     ap.add_argument("--dt", type=float, default=0.0125)
+    ap.add_argument("--chunk", type=int, default=80,
+                    help="2D-2: time steps per fused device call")
+    ap.add_argument("--hist", default="/tmp/cylinder_2d2_hist.csv",
+                    help="2D-2: streamed (t, cD, cL, dP) history file")
     args = ap.parse_args()
 
     import jax
@@ -140,50 +144,95 @@ def main():
         return
 
     # ---- 2D-2: BDF2 time stepping through the shedding limit cycle ----
+    # Forces/pressure probes are evaluated ON DEVICE inside the fused scan
+    # (utils.functionals.make_device_functional): drag/lift/dP ride the
+    # time loop as 4 scalars per step, so post-processing costs zero
+    # per-step host round trips — the previous per-step callback (full-state
+    # d2h + host residual) dominated the whole step on the remote TPU.
+    from fenapack_tpu.fem import mesh as meshmod
     from fenapack_tpu.solvers.unsteady import UnsteadySolver
+    from fenapack_tpu.utils.functionals import make_device_functional
     us = UnsteadySolver(asm, bcs, cfg, dt=args.dt, scheme="bdf2",
                         ap_hierarchy=ap_h, velocity_hierarchy=v_h)
-    hist = []
-    prev = {"u": None}
+    fn = make_device_functional(asm, [meshmod.CYLINDER],
+                                points=[(0.15, 0.2), (0.25, 0.2)],
+                                scheme="bdf2", dt=args.dt)
+    n_steps = int(round(args.t_end / args.dt))
+    chunk = max(1, min(args.chunk, n_steps))
+    hist = []          # (t, cD, cL, dP) accumulated across chunks
 
-    def record(k, t, w):
-        # unsteady force = steady reaction + inertial term M du/dt on the
-        # boundary rows (nonzero over boundary cells even with no-slip);
-        # du/dt by backward difference of the recorded states
-        from fenapack_tpu.fem import mesh as meshmod
-        from fenapack_tpu.utils.functionals import boundary_reaction, eval_p1
-        u = w[:n_u]
-        du_dt = None if prev["u"] is None else (u - prev["u"]) / args.dt
-        prev["u"] = u
-        F = boundary_reaction(asm, u, w[n_u:], [meshmod.CYLINDER],
-                              du_dt=du_dt)
-        dp = eval_p1(asm, np.asarray(w[n_u:]),
-                     [(0.15, 0.2), (0.25, 0.2)])
-        hist.append((t, coeff * F[0], coeff * F[1], dp[0] - dp[1]))
-        if (k + 1) % 80 == 0:
-            print(f"t={t:7.3f}  cD={hist[-1][1]:.4f}  "
-                  f"cL={hist[-1][2]:+.4f}", flush=True)
+    def summarize(final=False):
+        t = np.array([h[0] for h in hist])
+        cl = np.array([h[2] for h in hist])
+        half = t > 0.5 * t[-1]
+        # Strouhal from mean zero-upcrossing period of the established lift
+        s = cl[half] - cl[half].mean()
+        up = np.where((s[:-1] < 0) & (s[1:] >= 0))[0]
+        lead = "\nDFG 2D-2: " if final else "   so far: "
+        if up.size >= 2:
+            period = (t[half][up[-1]] - t[half][up[0]]) / (up.size - 1)
+            print(f"{lead} St = {D / (period * UBAR[100]):.4f}   "
+                  f"(ref 0.2950-0.3050)", flush=True)
+        if final or up.size >= 2:
+            sel = [h for h in hist if h[0] > 0.5 * t[-1]]
+            print(f"           c_Dmax = {max(h[1] for h in sel):.4f}"
+                  f"   (ref 3.2200-3.2400)")
+            print(f"           c_Lmax = {max(h[2] for h in sel):.4f}"
+                  f"   (ref 0.9900-1.0100)", flush=True)
 
     if dtype == "mixed":
-        # one fused device call per step (semi-implicit BDF2, the
-        # reference demo's 'picard' setting; state carried in f64)
-        us.solve_fused(args.t_end, callback=record)
+        # chunked whole-loop scan: each chunk is ONE device program
+        # (semi-implicit BDF2, the reference demo's 'picard' setting;
+        # state carried in f64); history flushes to --hist per chunk so a
+        # worker fault/timeout loses at most one chunk
+        import jax.numpy as jnp
+        full = us.make_full_unsteady(chunk, functional=fn,
+                                     external_carry=True)
+        w = us.initial_state()
+        kr = cfg.krylov.recycle
+        carry = (w, w[:n_u], us.initial_recycle() if kr else jnp.zeros(0))
+        with open(args.hist, "w") as f:
+            f.write("t,cD,cL,dP\n")
+        done = 0
+        import time as _time
+        while done < n_steps:
+            t0 = _time.perf_counter()
+            carry, rns, its, vals = full(carry)
+            vals = np.asarray(vals)
+            rows = [(args.dt * (done + j + 1), coeff * vals[j, 0],
+                     coeff * vals[j, 1], vals[j, 2] - vals[j, 3])
+                    for j in range(chunk)]
+            hist.extend(rows)
+            with open(args.hist, "a") as f:
+                for r in rows:
+                    f.write(",".join(f"{v:.10g}" for v in r) + "\n")
+            done += chunk
+            print(f"t={rows[-1][0]:7.3f}  cD={rows[-1][1]:.4f}  "
+                  f"cL={rows[-1][2]:+.4f}  "
+                  f"iters/step={float(np.mean(np.asarray(its))):.1f}  "
+                  f"[{_time.perf_counter() - t0:.1f}s/chunk]", flush=True)
+            if done * 2 >= n_steps:
+                summarize()
     else:
+        prev = {"u": None}
+        from fenapack_tpu.utils.functionals import boundary_reaction, eval_p1
+
+        def record(k, t, w):
+            # host-path reference recording (backward-difference du/dt)
+            u = w[:n_u]
+            du_dt = None if prev["u"] is None else (u - prev["u"]) / args.dt
+            prev["u"] = u
+            F = boundary_reaction(asm, u, w[n_u:], [meshmod.CYLINDER],
+                                  du_dt=du_dt)
+            dp = eval_p1(asm, np.asarray(w[n_u:]),
+                         [(0.15, 0.2), (0.25, 0.2)])
+            hist.append((t, coeff * F[0], coeff * F[1], dp[0] - dp[1]))
+            if (k + 1) % 80 == 0:
+                print(f"t={t:7.3f}  cD={hist[-1][1]:.4f}  "
+                      f"cL={hist[-1][2]:+.4f}", flush=True)
+
         us.solve(args.t_end, picard_iters=3, callback=record)
-    t = np.array([h[0] for h in hist])
-    cl = np.array([h[2] for h in hist])
-    half = t > 0.5 * t[-1]
-    # Strouhal from mean zero-upcrossing period of the (established) lift
-    s = cl[half] - cl[half].mean()
-    up = np.where((s[:-1] < 0) & (s[1:] >= 0))[0]
-    if up.size >= 2:
-        period = (t[half][up[-1]] - t[half][up[0]]) / (up.size - 1)
-        print(f"\nDFG 2D-2:  St = {D / (period * UBAR[100]):.4f}   "
-              f"(ref 0.2950-0.3050)")
-    print(f"           c_Dmax = {max(h[1] for h in hist[len(hist)//2:]):.4f}"
-          f"   (ref 3.2200-3.2400)")
-    print(f"           c_Lmax = {max(h[2] for h in hist[len(hist)//2:]):.4f}"
-          f"   (ref 0.9900-1.0100)")
+    summarize(final=True)
 
 
 if __name__ == "__main__":

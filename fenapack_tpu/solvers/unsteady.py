@@ -317,7 +317,8 @@ class UnsteadySolver:
         return out
 
     def make_full_unsteady(self, n_steps: int, rtol_lin: float = 1e-8,
-                           max_rounds: int = 8):
+                           max_rounds: int = 8, functional=None,
+                           external_carry: bool = False):
         """The WHOLE time loop as ONE device program: ``lax.scan`` over
         fused semi-implicit steps (the unsteady analogue of
         ``NonlinearSolver.make_full_solve``).  A remote-attached TPU pays
@@ -330,10 +331,26 @@ class UnsteadySolver:
         scan carry (implicit-Euler startup step included); with
         ``config.krylov.recycle > 0`` the GCRO-DR space rides the carry,
         deflating across time steps.
+
+        ``functional``: optional jit-traceable ``fn(w_new, u_old, u_prev)
+        -> (k,)`` evaluated after every step INSIDE the scan (e.g.
+        ``utils.functionals.make_device_functional`` — drag/lift/pressure
+        probes); its per-step values come back stacked as an extra
+        ``(n_steps, k)`` output.  Benchmark post-processing thus costs no
+        per-step host round trips.
+
+        ``external_carry``: the returned ``full`` takes and returns the
+        whole scan carry ``(w, u_prev, rec)`` instead of just ``w`` —
+        lets a host loop run the horizon in CHUNKS (progress reporting,
+        incremental history flushes, bounded loss under a worker fault)
+        while keeping each chunk one device program.  Seed with
+        ``(w0, w0[:n_u], initial_recycle())`` (``rec`` is a zeros(0)
+        placeholder when recycling is off).
         """
         import jax.lax as lax
         self._require_static_bcs("make_full_unsteady")
-        key = ("full", n_steps, rtol_lin, max_rounds)
+        key = ("full", n_steps, rtol_lin, max_rounds, functional,
+               external_carry)
         hit = self._jit_cache.get(key)
         if hit is not None:
             return hit
@@ -342,21 +359,29 @@ class UnsteadySolver:
         bdf2 = self.scheme == "bdf2"
         n_u = self.n_u
 
-        def full(w0):
+        def full(carry0):
             def body(c, _):
-                w, u_prev, rec = c
-                u_old = w[:n_u]
+                w_in, u_prev, rec = c
+                u_old = w_in[:n_u]
                 if kr:
-                    w, rn, it, _, rec = raw(w, u_prev, rec)
+                    w, rn, it, _, rec = raw(w_in, u_prev, rec)
                 else:
-                    w, rn, it, _ = raw(w, u_prev)
+                    w, rn, it, _ = raw(w_in, u_prev)
+                out = (rn, it)
+                if functional is not None:
+                    out = out + (functional(w, u_old, u_prev),)
                 u_prev = u_old if bdf2 else u_prev
-                return (w, u_prev, rec), (rn, it)
+                return (w, u_prev, rec), out
 
-            rec0 = self.initial_recycle() if kr else jnp.zeros(0)
-            (w, _, _), (rns, its) = lax.scan(
-                body, (w0, w0[:n_u], rec0), None, length=n_steps)
-            return w, rns, its
+            carry, outs = lax.scan(body, carry0, None, length=n_steps)
+            head = carry if external_carry else carry[0]
+            return (head,) + tuple(outs)
+
+        if not external_carry:
+            inner = full
+            def full(w0):  # noqa: F811 — thin seed-building wrapper
+                rec0 = self.initial_recycle() if kr else jnp.zeros(0)
+                return inner((w0, w0[:n_u], rec0))
 
         from ..runtime import lift_jit
         out = lift_jit(full, self.oseen._lift_roots)

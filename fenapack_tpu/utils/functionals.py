@@ -57,6 +57,106 @@ def boundary_reaction(asm, u: jnp.ndarray, p: jnp.ndarray,
                      for a in range(asm.dim)])
 
 
+def p1_point_weights(asm, points):
+    """Interpolation stencils for P1 point evaluation: ``(idx, wts)`` with
+    ``idx`` (k, d+1) pressure-dof indices and ``wts`` (k, d+1) barycentric
+    weights so that ``p_at = (p[idx] * wts).sum(axis=1)`` — the device-side
+    form of :func:`eval_p1` (same containing-cell search and
+    nearest-vertex fallback, done once on the host at setup)."""
+    mesh = asm.mesh
+    points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    cd = np.asarray(asm.W.Q.cell_dofs)
+    verts = mesh.vertices[mesh.cells]
+    gdim = mesh.vertices.shape[1]
+    idx = np.zeros((points.shape[0], gdim + 1), dtype=np.int32)
+    wts = np.zeros((points.shape[0], gdim + 1))
+    for k, x in enumerate(points):
+        T = verts[:, 1:, :] - verts[:, :1, :]
+        rhs = x[None, :] - verts[:, 0, :]
+        det = np.linalg.det(T)
+        ok = np.abs(det) > 1e-300
+        lam = np.zeros((verts.shape[0], gdim))
+        lam[ok] = np.linalg.solve(np.swapaxes(T[ok], 1, 2),
+                                  rhs[ok][..., None])[..., 0]
+        bary = np.concatenate([1.0 - lam.sum(axis=1, keepdims=True), lam],
+                              axis=1)
+        inside = ok & (bary.min(axis=1) >= -1e-9)
+        cand = np.where(inside)[0]
+        if cand.size:
+            c = cand[0]
+            idx[k] = cd[c]
+            wts[k] = bary[c]
+        else:
+            v = int(np.argmin(np.linalg.norm(mesh.vertices - x, axis=1)))
+            c, loc = np.argwhere(mesh.cells == v)[0]
+            idx[k] = cd[c, loc]
+            wts[k, 0] = 1.0
+    return idx, wts
+
+
+def make_device_functional(asm, markers: Sequence[int], points=(),
+                           scheme: str = "steady", dt: float = None,
+                           supg: bool = False):
+    """Build a jit-traceable per-step functional ``fn(w_new, u_old, u_prev)
+    -> (d + k,)``: boundary-reaction force components on ``markers``
+    followed by the pressure values at ``points``.
+
+    The device-resident form of :func:`boundary_reaction` + :func:`eval_p1`
+    for the fused unsteady paths (``UnsteadySolver.make_full_unsteady(...,
+    functional=...)``): forces ride the scan as scalars instead of the full
+    state crossing to the host every step — on a remote-attached TPU the
+    per-step d2h fetch dominates the whole time step otherwise.
+
+    ``scheme``: "steady" (no inertial term), "theta" (backward-difference
+    du/dt), or "bdf2" (second-order (3u - 4u_old + u_prev)/(2dt), matching
+    the BDF2 stepper's own derivative — more accurate than the host
+    callback's backward difference).
+    """
+    dt_hi = jnp.dtype(asm.dtype)
+    n2, d = asm.n2, asm.dim
+    n_u = d * n2
+    sdofs = np.asarray(asm.W.V.facet_dofs(list(markers)))
+    mask = np.zeros(n2)
+    mask[sdofs] = 1.0
+    mask = jnp.asarray(mask, dtype=dt_hi)
+    if len(points):
+        idx, wts = p1_point_weights(asm, points)
+        idx = jnp.asarray(idx)
+        wts = jnp.asarray(wts, dtype=dt_hi)
+    M2 = None
+    if scheme != "steady":
+        if dt is None:
+            raise ValueError("dt is required for unsteady schemes")
+        M2 = asm.const_hi.M2
+        if M2 is None:
+            M2 = asm.pat_p2.matrix(asm.mass2_values(hi=True))
+        idt = 1.0 / dt
+
+    def fn(w_new, u_old, u_prev):
+        u = w_new[:n_u].astype(dt_hi)
+        p = w_new[n_u:].astype(dt_hi)
+        ru, _ = asm.residual(u, None, supg=supg)
+        ru = ru + asm.grad_p(p)
+        if scheme == "bdf2":
+            du_dt = (1.5 * u - 2.0 * u_old.astype(dt_hi)
+                     + 0.5 * u_prev.astype(dt_hi)) * idt
+        elif scheme == "theta":
+            du_dt = (u - u_old.astype(dt_hi)) * idt
+        else:
+            du_dt = None
+        if du_dt is not None:
+            ru = ru + jnp.concatenate(
+                [M2.mv(du_dt[a * n2:(a + 1) * n2]) for a in range(d)])
+        force = jnp.stack([-jnp.sum(ru[a * n2:(a + 1) * n2] * mask)
+                           for a in range(d)])
+        if len(points):
+            p_at = jnp.sum(p[idx] * wts, axis=1)
+            return jnp.concatenate([force, p_at])
+        return force
+
+    return fn
+
+
 def eval_p1(asm, pvals, points) -> np.ndarray:
     """Evaluate a P1 (pressure-space) field at physical ``points`` (k, 2/3).
 

@@ -228,3 +228,49 @@ def test_fused_recycle_across_steps(scheme):
     # deflation pays from step 2 onward (step 1 builds the space)
     assert sum(r2.linear_iters[1:]) < sum(r1.linear_iters[1:]), \
         (r1.linear_iters, r2.linear_iters)
+
+
+def test_device_functional_matches_host_recompute():
+    """make_full_unsteady(functional=...) evaluates boundary forces and
+    pressure probes INSIDE the scan (the 2D-2 benchmark recording path);
+    chunked external-carry calls must reproduce (a) the plain fused
+    trajectory and (b) host-side boundary_reaction/eval_p1 recomputation
+    from the recorded states, with the BDF2-consistent du/dt."""
+    from fenapack_tpu.utils.functionals import (
+        boundary_reaction, eval_p1, make_device_functional)
+
+    dt = 0.25
+    us = build_scheme(dt=dt, scheme="bdf2")
+    asm = us.asm
+    pts = [(0.5, 0.5), (1.5, 0.5)]
+    fn = make_device_functional(asm, [meshmod.WALL], points=pts,
+                                scheme="bdf2", dt=dt)
+    full = us.make_full_unsteady(2, rtol_lin=1e-10, functional=fn,
+                                 external_carry=True)
+    w0 = us.initial_state()
+    carry = (w0, w0[:us.n_u], jnp.zeros(0))
+    carry, _, _, v1 = full(carry)
+    carry, _, _, v2 = full(carry)
+    vals = np.concatenate([np.asarray(v1), np.asarray(v2)])
+    assert vals.shape == (4, 4)
+
+    # reference trajectory: the per-step fused host loop
+    us2 = build_scheme(dt=dt, scheme="bdf2")
+    r = us2.solve_fused(t_end=4 * dt, rtol_lin=1e-10, keep_history=True)
+    assert np.allclose(np.asarray(carry[0]), np.asarray(r.history[-1]),
+                       atol=1e-9)
+
+    n_u = us.n_u
+    states = [np.asarray(w0)] + [np.asarray(w) for w in r.history]
+    for k in range(1, len(states)):
+        u_k = states[k][:n_u]
+        u_old = states[k - 1][:n_u]
+        u_prev = states[max(k - 2, 0)][:n_u]
+        du_dt = (1.5 * u_k - 2.0 * u_old + 0.5 * u_prev) / dt
+        F = boundary_reaction(asm, jnp.asarray(u_k),
+                              jnp.asarray(states[k][n_u:]),
+                              [meshmod.WALL], du_dt=jnp.asarray(du_dt))
+        p_at = eval_p1(asm, states[k][n_u:], pts)
+        got = vals[k - 1]
+        assert np.allclose(got[:2], F, atol=1e-8), (k, got[:2], F)
+        assert np.allclose(got[2:], p_at, atol=1e-8), (k, got[2:], p_at)
