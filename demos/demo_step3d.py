@@ -43,6 +43,11 @@ def make_parser():
     ap.add_argument("--maxiter", type=int, default=300,
                     help="Krylov dimension (V+Z basis = 2*maxiter*n floats; "
                          "shrink at large n — IR restarts compensate)")
+    ap.add_argument("--hi-res-f32", type=int, default=None,
+                    help="f32 convection integrals inside the true-residual "
+                         "program (default: on at level >= 3 — the "
+                         "emulated-f64 einsum temporaries OOM the 16 GB "
+                         "chip at 2M dofs; rtol 1e-5 targets unaffected)")
     return ap
 
 
@@ -93,7 +98,10 @@ def build(args):
     bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                 lambda x: np.zeros((x.shape[0], 3))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
+    hi_res_f32 = (args.level >= 3 if args.hi_res_f32 is None
+                  else bool(args.hi_res_f32))
     over = {"system_supg": args.supg,
+            "krylov.hi_res_f32": hi_res_f32,
             "pcd.variant": args.pcd, "dtype": dtype,
             "velocity.method": args.velocity,
             "velocity.iters": args.velocity_iters,

@@ -751,7 +751,8 @@ class NSAssembler:
         return self.nu * L.vals.astype(conv.dtype) + conv
 
     def residual(self, u: jnp.ndarray, p: Optional[jnp.ndarray],
-                 hi: bool = True, supg: bool = False
+                 hi: bool = True, supg: bool = False,
+                 compute32: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Steady NS residual F(w) with zero body force, natural outflow:
         ``ru_a = A1(u) u_a + DT_a p``, ``rp = sum_a D_a u_a``
@@ -765,8 +766,14 @@ class NSAssembler:
         stabilization of BASELINE config 5 (without it the Galerkin system
         at cell-Peclet >> 1 is oscillatory and outer Krylov stalls at any
         subsolve quality; measured at Re=2000, level 1-2).  The Picard
-        operator lags the same term (consistent linearization)."""
-        A1vals = self.picard_matrix_values(u, hi=hi)
+        operator lags the same term (consistent linearization).
+
+        ``compute32`` (see :meth:`convection_values`) runs the per-call
+        convection element integrals in f32: at 2M dofs the emulated-f64
+        einsum temporaries inside the residual program are what pushes the
+        16 GB HBM over the edge (measured: the first fused-step residual
+        RESOURCE_EXHAUSTEDs at l=3/length=9 without it)."""
+        A1vals = self.picard_matrix_values(u, hi=hi, compute32=compute32)
         if supg:
             A1vals = A1vals + self.supg_values(u, hi=hi).astype(A1vals.dtype)
         A1 = self._pats(hi)[0].matrix(A1vals)

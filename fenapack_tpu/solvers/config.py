@@ -72,6 +72,15 @@ class KrylovConfig:
     # residual, and PC all read the same values).  Constant integrals
     # (nu L, mass) remain exact f64.
     hi_ops_f32: bool = True
+    # ALSO run the nonlinear/IR true-RESIDUAL's convection integrals in f32
+    # (fem.assemble.NSAssembler.residual compute32).  Distinct from
+    # hi_ops_f32 because the residual sets the attainable nonlinear floor
+    # (~1e-7 relative with f32 integrals): keep False when converging past
+    # 1e-8 (e.g. Newton quadratic-decay validation); turn ON for
+    # HBM-capacity problems — at 2M dofs the emulated-f64 einsum
+    # temporaries inside the residual program are what RESOURCE_EXHAUSTs
+    # the 16 GB chip (rtol_nl 1e-5 production targets are unaffected).
+    hi_res_f32: bool = False
     # evaluate the hi-precision matvec with the double-single compensated
     # Pallas BSR kernel (ops.pallas_spmv.DF32BlockSpMV): pure-f32 VPU
     # arithmetic reproducing the emulated-f64 block matvec to ~1e-12 —

@@ -113,11 +113,12 @@ class NonlinearSolver:
         kr = self.oseen.config.krylov.recycle
 
         ssupg = self.oseen.config.system_supg
+        c32 = self.oseen.config.krylov.hi_res_f32
 
         def residual_of(w):
             u, p = w[:n_u], w[n_u:]
             ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi),
-                                  supg=ssupg)
+                                  supg=ssupg, compute32=c32)
             ru = free_u * ru
             if encl:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
@@ -159,11 +160,12 @@ class NonlinearSolver:
         n_p_real = float(asm.n1_real)
 
         ssupg = self.oseen.config.system_supg
+        c32 = self.oseen.config.krylov.hi_res_f32
 
         def residual_hi(w):
             u, p = w[:n_u], w[n_u:]
             ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi),
-                                  supg=ssupg)
+                                  supg=ssupg, compute32=c32)
             ru = free_u * ru
             if encl:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active
@@ -265,12 +267,13 @@ class NonlinearSolver:
         p_active = asm.p_active.astype(dt_hi)
         n_p_real = float(asm.n1_real)
         ssupg = self.oseen.config.system_supg
+        c32 = self.oseen.config.krylov.hi_res_f32
         ir = self.oseen.make_ir_solve(rtol_lin, _jit=False)
 
         def residual_of(w):
             u, p = w[:n_u], w[n_u:]
             ru, rp = asm.residual(u.astype(dt_hi), p.astype(dt_hi),
-                                  supg=ssupg)
+                                  supg=ssupg, compute32=c32)
             ru = free_u * ru
             if encl:
                 rp = rp - (jnp.sum(rp * p_active) / n_p_real) * p_active

@@ -13,6 +13,7 @@ Monolithic vector layout: ``x = [u_x (n2); u_y (n2); p (n1)]``.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -444,9 +445,17 @@ class OseenSolver:
             comp3 = [A1op.split_x(comp) for comp in comps]
             p = x[n_u:]
             p3 = DTop.split_x(p)
-            # all d components ride ONE kernel pass over the A1 tile
-            # planes (multi-RHS): the tiles dominate the HBM traffic
-            yA = A1op(A1t, xs3=comp3)
+            # multi-RHS (all d components in ONE kernel pass over the A1
+            # tile planes) is opt-in: the traffic argument says tiles
+            # dominate, but MEASURED on chip at the 2D bench scale the
+            # d-RHS kernel is ~18% SLOWER per outer iteration (4.28 vs
+            # 3.63 ms df32 matvec — the wider VMEM residency costs more
+            # pipelining than the shared tile stream saves).  Flip with
+            # FENAPACK_MRHS=1 where it measures faster.
+            if os.environ.get("FENAPACK_MRHS", "0") == "1":
+                yA = A1op(A1t, xs3=comp3)
+            else:
+                yA = [A1op(A1t, x3=comp3[a]) for a in range(d)]
             ys = [yA[a] + DTop(DTt[a], x3=p3) for a in range(d)]
             if Rt is not None:
                 for a in range(d):
