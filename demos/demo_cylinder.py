@@ -108,6 +108,16 @@ def main():
                     help="2D-2: time steps per fused device call")
     ap.add_argument("--hist", default="/tmp/cylinder_2d2_hist.csv",
                     help="2D-2: streamed (t, cD, cL, dP) history file")
+    ap.add_argument("--ckpt", default=None,
+                    help="2D-2: checkpoint file (default <hist>.ckpt.npz); "
+                         "state + step count saved per chunk, so a TPU "
+                         "worker fault resumes mid-trajectory instead of "
+                         "restarting from t=0")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore an existing checkpoint")
+    ap.add_argument("--maxiter", type=int, default=None,
+                    help="Krylov dimension cap (program size; default "
+                         "config value — shrink on near-capacity runs)")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +132,9 @@ def main():
     asm, bcs, cfg, ap_h, v_h, nu = build(args.level, re, dtype, ls=args.ls,
                                          nls=args.nls,
                                          unsteady=args.unsteady)
+    if args.maxiter is not None:
+        from fenapack_tpu.solvers.config import overrides
+        cfg = overrides(cfg, {"krylov.maxiter": args.maxiter})
     n_u = 2 * asm.n2
     coeff = 2.0 / (UBAR[re] ** 2 * D)
     print(f"cylinder channel  l={args.level}  Re={re}  nu={nu:g}  "
@@ -191,9 +204,30 @@ def main():
         w = us.initial_state()
         kr = cfg.krylov.recycle
         carry = (w, w[:n_u], us.initial_recycle() if kr else jnp.zeros(0))
-        with open(args.hist, "w") as f:
-            f.write("t,cD,cL,dP\n")
         done = 0
+        ckpt = args.ckpt or (args.hist + ".ckpt.npz")
+        ck_key = f"l{args.level}_dt{args.dt:g}_chunk{chunk}_{dtype}"
+        if not args.no_resume and os.path.exists(ckpt):
+            ck = np.load(ckpt, allow_pickle=False)
+            if str(ck["key"]) == ck_key and int(ck["done"]) < n_steps:
+                carry = tuple(jnp.asarray(ck[f"c{i}"]) for i in range(3))
+                done = int(ck["done"])
+                with open(args.hist) as f:
+                    next(f)
+                    hist.extend(tuple(float(v) for v in ln.split(","))
+                                for ln in f if ln.strip())
+                hist[:] = hist[:done]
+                # the csv may hold rows from a chunk that crashed before
+                # its checkpoint landed — rewrite it consistent with done
+                with open(args.hist, "w") as f:
+                    f.write("t,cD,cL,dP\n")
+                    for r in hist:
+                        f.write(",".join(f"{v:.10g}" for v in r) + "\n")
+                print(f"resumed from {ckpt} at step {done} "
+                      f"(t={done * args.dt:.3f})", flush=True)
+        if done == 0:
+            with open(args.hist, "w") as f:
+                f.write("t,cD,cL,dP\n")
         import time as _time
         while done < n_steps:
             t0 = _time.perf_counter()
@@ -207,6 +241,9 @@ def main():
                 for r in rows:
                     f.write(",".join(f"{v:.10g}" for v in r) + "\n")
             done += chunk
+            np.savez(ckpt + ".tmp.npz", key=ck_key, done=done,
+                     **{f"c{i}": np.asarray(c) for i, c in enumerate(carry)})
+            os.replace(ckpt + ".tmp.npz", ckpt)
             print(f"t={rows[-1][0]:7.3f}  cD={rows[-1][1]:.4f}  "
                   f"cL={rows[-1][2]:+.4f}  "
                   f"iters/step={float(np.mean(np.asarray(its))):.1f}  "
