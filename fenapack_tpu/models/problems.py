@@ -56,6 +56,14 @@ class _ProblemBase:
     def inflow_marker(self):
         return meshmod.INFLOW
 
+    def noslip_markers(self):
+        return [meshmod.WALL]
+
+    def snap(self):
+        """Optional in-place boundary-projection hook applied after each
+        refinement (curved geometries; see mesh.snap_to_circle)."""
+        return None
+
     def enclosed(self) -> bool:
         return False
 
@@ -67,6 +75,7 @@ class _ProblemBase:
 
     # -- builders ------------------------------------------------------ #
     def mesh(self, gmg_levels: Optional[int] = None):
+        snap = self.snap()
         if gmg_levels is None:
             m = self._base_mesh()
             for _ in range(self.level):
@@ -75,9 +84,11 @@ class _ProblemBase:
                 m = (meshmod.refine_uniform(m)[0]
                      if m.vertices.shape[1] == 2
                      else mesh3d.refine_uniform3d(m)[0])
+                if snap is not None:
+                    snap(m)
             return m
         return gmg.build_hierarchy(self._base_mesh(),
-                                   max(self.level, gmg_levels))
+                                   max(self.level, gmg_levels), snap=snap)
 
     def assembler(self, mesh=None, **asm_kw):
         m = self.mesh() if mesh is None else mesh
@@ -89,7 +100,7 @@ class _ProblemBase:
         return NSAssembler(m, self.nu, **kw)
 
     def bcs(self, asm):
-        return [DirichletBC.velocity(asm.W, [meshmod.WALL],
+        return [DirichletBC.velocity(asm.W, self.noslip_markers(),
                                      _zero(self.dim)),
                 DirichletBC.velocity(asm.W, [self.inflow_marker()],
                                      self.inflow_profile())]
@@ -125,7 +136,7 @@ class _ProblemBase:
                 fine_asm=asm)
             v_h = gmg.VelocityHierarchy(
                 hier, self.nu, jdt,
-                bc_markers=[meshmod.WALL, self.inflow_marker()],
+                bc_markers=self.noslip_markers() + [self.inflow_marker()],
                 fine_asm=asm)
         elif asm is None:
             asm = self.assembler()
@@ -203,6 +214,39 @@ class ObstacleChannel2D(Channel2D):
 
     def _base_mesh(self):
         return meshmod.obstacle_channel_mesh(0, length=self.length)
+
+
+@dataclasses.dataclass
+class CylinderChannel2D(_ProblemBase):
+    """Schäfer–Turek "flow around a cylinder" channel (DFG 2D-1/2D-2;
+    the reference's unsteady demo geometry, BASELINE config 3).
+
+    Snapped-circle mesh: each refinement projects new boundary vertices
+    back onto the true circle (fem.mesh.snap_to_circle), so the polygonal
+    geometry error converges with level.  ``u_mean`` sets the benchmark
+    regime: 0.2 → Re=20 (2D-1 steady), 1.0 → Re=100 (2D-2 shedding), with
+    nu fixed at 1e-3 per the benchmark definition.  Demo:
+    ``demos/demo_cylinder.py``; recorded coefficients: ``results/``.
+    """
+    nu: float = 0.001
+    u_mean: float = 0.2          # Ubar; peak = 1.5 * u_mean
+
+    def _base_mesh(self):
+        return meshmod.cylinder_channel_mesh(0)
+
+    def snap(self):
+        return meshmod.snap_to_circle
+
+    def noslip_markers(self):
+        return [meshmod.WALL, meshmod.CYLINDER]
+
+    def inflow_profile(self):
+        u_m = 1.5 * self.u_mean
+        def f(x):
+            v = np.zeros((x.shape[0], 2))
+            v[:, 0] = 4.0 * u_m * x[:, 1] * (0.41 - x[:, 1]) / 0.41 ** 2
+            return v
+        return f
 
 
 @dataclasses.dataclass

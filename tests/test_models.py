@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import pytest
 
 from fenapack_tpu.models import (StepFlow2D, LidDrivenCavity, Channel2D,
-                                 ObstacleChannel2D, StepFlow3D, Duct3D)
+                                 CylinderChannel2D, ObstacleChannel2D,
+                                 StepFlow3D, Duct3D)
 
 
 def test_step2d_solver_and_gmg():
@@ -25,6 +26,24 @@ def test_channel_unsteady():
     us = Channel2D().solver(unsteady=0.25)
     w, iters, rn = us.step(us.initial_state(), picard_iters=2)
     assert iters > 0 and np.isfinite(rn)
+
+
+def test_cylinder_snapped_geometry_and_solve():
+    """The DFG cylinder joins the zoo: refinement re-snaps boundary
+    vertices onto the true circle, no-slip covers the cylinder, and the
+    steady Re=20 problem converges (sharp coefficient validation lives in
+    test_cylinder.py / results/)."""
+    from fenapack_tpu.fem import mesh as meshmod
+    p = CylinderChannel2D(level=1)
+    m = p.mesh()
+    vids = np.unique(m.edges[m.boundary_facets[
+        m.facet_markers == meshmod.CYLINDER]])
+    d = np.linalg.norm(m.vertices[vids] - [0.2, 0.2], axis=1)
+    assert np.abs(d - 0.05).max() < 1e-12       # snapped through refinement
+    assert meshmod.CYLINDER in p.noslip_markers()
+    nl = CylinderChannel2D().solver(linearization="newton")
+    res = nl.solve(rtol=1e-3, max_steps=8)
+    assert res.nonlinear_res[-1] < 1e-3 * res.nonlinear_res[0]
 
 
 def test_obstacle_builds():
