@@ -47,6 +47,13 @@ class KrylovConfig:
     # undershoots its true-reduction target to absorb estimate drift.
     ir_attainable: float = 3e-5
     ir_safety: float = 0.4
+    # selective reorthogonalization threshold (0.0 = unconditional CGS2).
+    # eta > 0 runs the second Gram-Schmidt pass only when the first
+    # projection shrank |w| below eta * |w_pre| (Kahan-Parlett "twice is
+    # enough"); each skipped pass saves the two O(m n) projection/update
+    # ops — the dominant Krylov-algebra cost at 2D bench scale
+    # (doc/perf_analysis.md).  Classic safe choice: 0.707 (1/sqrt 2).
+    reorth_eta: float = 0.0
     # GCRO-DR recycle-space dimension (0 = off): deflates the slowest
     # Krylov directions across IR rounds (same operator) and nonlinear
     # steps (nearby operator), removing the per-round Arnoldi startup cost

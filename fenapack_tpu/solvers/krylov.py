@@ -186,21 +186,32 @@ def _diag_guard(R, tiny: float = 1e-20):
 
 def fgmres(matvec: Callable, pc: Callable, b: jnp.ndarray,
            x0: Optional[jnp.ndarray] = None, *, maxiter: int = 100,
-           rtol: float = 1e-8, atol: float = 0.0) -> FGMRESResult:
+           rtol: float = 1e-8, atol: float = 0.0,
+           reorth_eta: float = 0.0) -> FGMRESResult:
     """Solve ``A x = b`` with right preconditioner ``pc`` (flexible).
 
     ``matvec``/``pc`` are closures over device arrays; the whole function is
     jit-safe.  No restarts: ``maxiter`` is the Krylov dimension (PCD keeps
     outer counts in the tens, cf. BASELINE.md).
+
+    ``reorth_eta``: 0.0 = unconditional CGS2 (two projection passes every
+    iteration).  eta > 0 enables SELECTIVE reorthogonalization (the
+    Kahan–Parlett "twice is enough" criterion): the second pass runs only
+    when the first projection removed most of ``w`` — i.e. when
+    ``|w_1| < eta * |w_0|`` — because only then can cancellation have left
+    O(eps * |w_0| / |w_1|) of the old span in the new direction.  Classic
+    choice eta = 1/sqrt(2); each skipped pass saves the two O(m n) ops
+    (projection + basis update) that dominate Krylov-algebra time on TPU.
     """
-    res, _ = _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, None)
+    res, _ = _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, None,
+                          reorth_eta=reorth_eta)
     return res
 
 
 def fgmres_dr(matvec: Callable, pc: Callable, b: jnp.ndarray,
               rec: RecycleSpace, x0: Optional[jnp.ndarray] = None, *,
               maxiter: int = 100, rtol: float = 1e-8, atol: float = 0.0,
-              factor_dtype=None):
+              factor_dtype=None, reorth_eta: float = 0.0):
     """Deflated-recycling FGMRES (GCRO-DR flavor, Parks et al. 2006).
 
     Solves with the Krylov space augmented by ``rec`` (deflating the slow
@@ -211,7 +222,7 @@ def fgmres_dr(matvec: Callable, pc: Callable, b: jnp.ndarray,
     :func:`refresh_recycle` when the operator changes between solves.
     """
     return _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol, rec,
-                        factor_dtype=factor_dtype)
+                        factor_dtype=factor_dtype, reorth_eta=reorth_eta)
 
 
 def _rotation_sweep(h, cs, sn, m):
@@ -239,7 +250,8 @@ def _rotation_sweep(h, cs, sn, m):
 
 
 def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
-                 rec: Optional[RecycleSpace], factor_dtype=None):
+                 rec: Optional[RecycleSpace], factor_dtype=None,
+                 reorth_eta: float = 0.0):
     n = b.shape[0]
     dtype = b.dtype
     m = maxiter
@@ -291,13 +303,25 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
             w = w - C.T @ bk
             Bm = Bm.at[k].set(bk)
 
-        # masked CGS2: project onto span{V_0..V_k}
+        # masked CGS(2): project onto span{V_0..V_k}
         wnorm_pre = jnp.linalg.norm(w)
         mask = (jnp.arange(m + 1) <= k).astype(dtype)
         h1 = (V @ w) * mask
         w = w - V.T @ h1
-        h2 = (V @ w) * mask
-        w = w - V.T @ h2
+        if reorth_eta > 0.0:
+            # selective second pass ("twice is enough"): reorthogonalize
+            # only when the first projection collapsed w into the span
+            wnorm1 = jnp.linalg.norm(w)
+
+            def second(w):
+                h2 = (V @ w) * mask
+                return w - V.T @ h2, h2
+
+            w, h2 = lax.cond(wnorm1 < reorth_eta * wnorm_pre,
+                             second, lambda w: (w, jnp.zeros_like(h1)), w)
+        else:
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
         h = h1 + h2
         wnorm = jnp.linalg.norm(w)
         # (near-)breakdown: the new direction is numerically inside the
@@ -366,7 +390,7 @@ def _fgmres_impl(matvec, pc, b, x0, maxiter, rtol, atol,
 
 
 def fgmres_ds(matvec, pc, b, *, maxiter: int = 100, rtol: float = 1e-8,
-              atol: float = 0.0) -> FGMRESResult:
+              atol: float = 0.0, reorth_eta: float = 0.0) -> FGMRESResult:
     """FGMRES with the Krylov basis in double-single (two-f32) storage.
 
     Semantics of :func:`fgmres` at f64 honesty (residual estimate trustworthy
@@ -421,13 +445,28 @@ def fgmres_ds(matvec, pc, b, *, maxiter: int = 100, rtol: float = 1e-8,
 
         mask = (jnp.arange(m + 1) <= k).astype(jnp.float32)
         wnorm_pre = ds.norm(w)
-        # masked CGS2 in compensated f32
+        # masked CGS(2) in compensated f32
         h1 = ds.mat_dots(V, w)
         h1 = ds.DS(h1.hi * mask, h1.lo * mask)
         w = ds.update(w, V, h1)
-        h2 = ds.mat_dots(V, w)
-        h2 = ds.DS(h2.hi * mask, h2.lo * mask)
-        w = ds.update(w, V, h2)
+        if reorth_eta > 0.0:
+            # selective second pass (see fgmres): skip the two O(m n)
+            # compensated passes when the first projection kept most of w
+            wnorm1 = ds.norm(w)
+
+            def second(w):
+                h2 = ds.mat_dots(ds.DS(Vhi, Vlo), w)
+                h2 = ds.DS(h2.hi * mask, h2.lo * mask)
+                return ds.update(w, ds.DS(Vhi, Vlo), h2), h2
+
+            w, h2 = lax.cond(
+                wnorm1 < reorth_eta * wnorm_pre, second,
+                lambda w: (w, ds.DS(jnp.zeros_like(h1.hi),
+                                    jnp.zeros_like(h1.lo))), w)
+        else:
+            h2 = ds.mat_dots(V, w)
+            h2 = ds.DS(h2.hi * mask, h2.lo * mask)
+            w = ds.update(w, V, h2)
         h = ds.to_f64(ds.add(h1, h2))                    # (m+1,) f64
 
         wnorm = ds.norm(w)

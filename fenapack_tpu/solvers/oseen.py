@@ -506,7 +506,8 @@ class OseenSolver:
         cfg = self.config
         matvec, pc = self._pipeline(wind)
         return fgmres(matvec, pc, b, maxiter=cfg.krylov.maxiter,
-                      rtol=cfg.krylov.rtol, atol=cfg.krylov.atol)
+                      rtol=cfg.krylov.rtol, atol=cfg.krylov.atol,
+                      reorth_eta=cfg.krylov.reorth_eta)
 
     def solve(self, wind: jnp.ndarray, b: jnp.ndarray) -> FGMRESResult:
         """Solve the Oseen system linearized at ``wind`` with RHS ``b``."""
@@ -617,16 +618,19 @@ class OseenSolver:
                     res, rec = krylov_mod.fgmres_dr(
                         matvec_hi, pc_hi, b64, rec,
                         maxiter=cfg.krylov.maxiter, rtol=rtol,
-                        factor_dtype=self.dtype)
+                        factor_dtype=self.dtype,
+                        reorth_eta=cfg.krylov.reorth_eta)
                 elif cfg.krylov.ds_basis:
                     # f32-in/f32-out PC for the ds loop (no f64 casts on
                     # the n-vector path)
                     res = krylov_mod.fgmres_ds(
                         matvec_hi, pc, b64,
-                        maxiter=cfg.krylov.maxiter, rtol=rtol)
+                        maxiter=cfg.krylov.maxiter, rtol=rtol,
+                        reorth_eta=cfg.krylov.reorth_eta)
                 else:
                     res = fgmres(matvec_hi, pc_hi, b64,
-                                 maxiter=cfg.krylov.maxiter, rtol=rtol)
+                                 maxiter=cfg.krylov.maxiter, rtol=rtol,
+                                 reorth_eta=cfg.krylov.reorth_eta)
                 rn = jnp.linalg.norm(b64 - matvec_hi(res.x))
                 if kr:
                     return res.x, res.iters, rn, rec
@@ -680,11 +684,13 @@ class OseenSolver:
                 if kr:
                     res, rec = krylov_mod.fgmres_dr(
                         matvec, pc, rhs, rec, maxiter=cfg.krylov.maxiter,
-                        rtol=rtol_k.astype(self.dtype))
+                        rtol=rtol_k.astype(self.dtype),
+                        reorth_eta=cfg.krylov.reorth_eta)
                 else:
                     res = fgmres(matvec, pc, rhs,
                                  maxiter=cfg.krylov.maxiter,
-                                 rtol=rtol_k.astype(self.dtype))
+                                 rtol=rtol_k.astype(self.dtype),
+                                 reorth_eta=cfg.krylov.reorth_eta)
                 x = x + scale * res.x.astype(dt_hi)
                 r = b_hi - matvec_hi(x)
                 rn_new = jnp.linalg.norm(r)

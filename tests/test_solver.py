@@ -52,6 +52,37 @@ def test_fgmres_unit():
     assert hist[-1] <= 1e-10 * np.linalg.norm(b) * 1.01
 
 
+def test_fgmres_selective_reorth():
+    """Selective reorthogonalization (krylov reorth_eta > 0) reaches the
+    same tolerance with the same-quality residual estimate as full CGS2 —
+    on an ill-conditioned system where skipped second passes would show up
+    as a dishonest estimate (true residual >> estimate)."""
+    rng = np.random.default_rng(7)
+    n = 120
+    # conditioning ~1e6: selective reorth must still keep the basis honest
+    U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, -6, n)
+    A = U @ np.diag(s) @ V.T
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    for eta in (0.707, 1.0):
+        res = fgmres(lambda x: Aj @ x, lambda r: r, jnp.asarray(b),
+                     maxiter=n, rtol=1e-9, reorth_eta=eta)
+        x = np.asarray(res.x)
+        relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+        est = float(res.resnorms[-1]) / np.linalg.norm(b)
+        assert res.converged
+        assert relres < 50 * max(est, 1e-9), (eta, relres, est)
+
+    from fenapack_tpu.solvers.krylov import fgmres_ds
+    res_ds = fgmres_ds(lambda x: Aj @ x, lambda r: r, jnp.asarray(b),
+                       maxiter=n, rtol=1e-9, reorth_eta=0.707)
+    x = np.asarray(res_ds.x)
+    relres = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert res_ds.converged and relres < 1e-7, relres
+
+
 @pytest.mark.parametrize("variant", ["BRM1", "BRM2"])
 def test_picard_matches_oracle_counts(variant):
     mesh, W, bcs_o = build_step_problem(level=0)
