@@ -92,19 +92,27 @@ def build_hierarchy(coarse, levels: int, snap=None) -> MeshHierarchy:
 # --------------------------------------------------------------------- #
 
 def _maybe_block_pattern(rows, cols, n_rows, n_cols, block):
-    """Block transfer pattern, or None when its fill ratio is pathological
+    """Block transfer pattern, or None when its byte cost is pathological
     (callers then keep the gather transfer path).
 
-    Same ops.sparse.block_layout_ok policy as NSAssembler's operators: the
-    restriction direction (coarse block rows gathering scattered fine
-    columns) loses block locality with scale — measured m=232 neighbor
-    blocks (954 MB of tiles) for a P2 restriction at 761k dofs, vs a few
-    MB of gather stencils.  Transfers run once per V-cycle level, so the
-    gather cost is noise next to the smoothers.
+    ops.sparse.block_layout_ok policy, but at COLD budget (scale 0.05 =
+    50 MB at the default 1 GB base): transfers run once per V-cycle level,
+    so the gather cost is noise next to the smoothers — while their tiles
+    are the worst-filled buffers in the whole solver (coarse block rows
+    gathering scattered fine columns lose block locality with scale).
+    Measured at the 2.05M-dof config-4 shape (scripts/mem_audit3d.py,
+    round 3): the materialized fine-level P2 restriction alone was
+    (10747, 8, 2328) = 800 MB (m=291 neighbor blocks) and the matching
+    prolongation 775 MB — 1.6 GB of the 16 GB HBM for two cold operators,
+    a leading term of the RESOURCE_EXHAUSTED at that scale.  At the
+    default scale=1.0 budget both PASSED (<= 1e9); the cold budget evicts
+    them to the few-MB gather stencils.
     """
     from ..ops.sparse import BlockSparsityPattern, block_layout_ok
+    import os
+    scale = float(os.environ.get("FENAPACK_TRANSFER_BLOCK_SCALE", "0.05"))
     pat = BlockSparsityPattern(rows, cols, n_rows, n_cols, block=block)
-    return pat if block_layout_ok(pat) else None
+    return pat if block_layout_ok(pat, scale=scale) else None
 
 
 class P1Transfer:

@@ -93,7 +93,8 @@ def build(args, problem="cylinder", velocity="gmg"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("stage", choices=["residual", "matvec", "cheb",
+    ap.add_argument("stage", choices=["residual", "matvec", "matvec-hi",
+                                      "fgmres", "ir", "ir1", "cheb",
                                       "minres", "gmg", "gmg-dense", "step"])
     ap.add_argument("-l", "--level", type=int, default=1)
     ap.add_argument("--maxiter", type=int, default=100)
@@ -109,6 +110,8 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
 
     velocity = {"residual": "chebyshev", "matvec": "chebyshev",
+                "matvec-hi": "chebyshev", "fgmres": "chebyshev",
+                "ir": "chebyshev", "ir1": "chebyshev",
                 "cheb": "chebyshev", "minres": "minres",
                 "gmg": "gmg", "gmg-dense": "gmg", "step": "gmg"}[args.stage]
     problem = "step" if args.stage == "step" else "cylinder"
@@ -131,6 +134,37 @@ def main():
         yn = float(jnp.linalg.norm(y))
         print(f"STAGE matvec OK |Ax|={yn:.3e} {time.time()-t0:.1f}s",
               flush=True)
+        return
+    if args.stage == "matvec-hi":
+        # the emulated-f64 system matvec the IR true-residual update uses
+        F = np.asarray(nl._residual(w))
+        wind_hi = w[:nl.n_u].astype(jnp.float64)
+        A1h, Rh = nl.oseen._operator_values_raw(wind_hi, hi=True)
+        mv_hi = nl.oseen._matvec_factory(A1h, Rh, hi=True)
+        y = mv_hi(jnp.asarray(-F, dtype=jnp.float64))
+        yn = float(jnp.linalg.norm(y))
+        print(f"STAGE matvec-hi OK |Ax|={yn:.3e} {time.time()-t0:.1f}s",
+              flush=True)
+        return
+    if args.stage == "fgmres":
+        # ONE plain f32 FGMRES (no IR wrapper, no hi ops in the program)
+        F = np.asarray(nl._residual(w))
+        b32 = jnp.asarray(-F, dtype=nl.oseen.dtype)
+        res = nl.oseen.solve(w[:nl.n_u], b32)
+        print(f"STAGE fgmres OK iters={int(res.iters)} "
+              f"relres={float(res.resnorms[-1]/res.bnorm):.2e} "
+              f"{time.time()-t0:.1f}s", flush=True)
+        return
+
+    if args.stage in ("ir", "ir1"):
+        # the IR while_loop program WITHOUT the fused residual (host b)
+        F = np.asarray(nl._residual(w))
+        rounds = 1 if args.stage == "ir1" else 8
+        ir = nl.oseen.make_ir_solve(2e-6, max_rounds=rounds)
+        out = ir(w[:nl.n_u], jnp.asarray(-F, dtype=jnp.float64))
+        rn = float(out[2])
+        print(f"STAGE {args.stage} OK rn={rn:.3e} iters={int(out[1])} "
+              f"{time.time()-t0:.1f}s", flush=True)
         return
 
     # full fused IR step (the program the demo crashes in)
