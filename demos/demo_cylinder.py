@@ -118,6 +118,13 @@ def main():
     ap.add_argument("--maxiter", type=int, default=None,
                     help="Krylov dimension cap (program size; default "
                          "config value — shrink on near-capacity runs)")
+    ap.add_argument("--split-programs", action="store_true",
+                    help="steady path: run residual + each IR round as "
+                         "separate device calls instead of one fused "
+                         "program per nonlinear step — bounds single-"
+                         "program execution time (the axon service kills "
+                         "long-running executions; see "
+                         "scripts/probe_exec_watchdog.py) and peak memory")
     args = ap.parse_args()
 
     import jax
@@ -146,7 +153,8 @@ def main():
         if dtype == "mixed":
             # fused IR Picard/Newton steps: f64-carried state honest to
             # the linear rtol even though the compute path is f32
-            res = solver.solve_fused(rtol=args.rtol, verbose=True)
+            res = solver.solve_fused(rtol=args.rtol, verbose=True,
+                                     split_programs=args.split_programs)
         else:
             res = solver.solve(rtol=args.rtol, verbose=True)
         print(f"converged: {res.converged}  iters/step: {res.linear_iters}")

@@ -343,7 +343,17 @@ class SPMDVelocityGMG:
             ell = ELL(cols=jnp.asarray(new_cols),
                       vals=jnp.asarray(new_used.astype(np.float64),
                                        dtype=dtype), n_cols=n_pad)
-            ring = RingHaloELL(ell, n_dev, axis)
+            try:
+                ring = RingHaloELL(ell, n_dev, axis)
+            except ValueError:
+                # same policy as _Level (pressure side): small/coarse
+                # levels whose RCM bandwidth exceeds the per-device block
+                # fall back to the all-gather SpMV — identical semantics,
+                # O(n_level) ICI traffic bounded by the level-size series
+                ring = RowBlockELL(ell, axis)
+                ring.n_loc = n_pad // n_dev
+                ring.cols_ext = ell.cols         # NOT rebased: global ids
+                ring.halo = 0
             mask_nat = np.asarray(vh.masks[l])[:n2]
             m = np.zeros(n_pad)
             m[:n2] = mask_nat[inv]
