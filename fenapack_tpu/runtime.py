@@ -140,4 +140,13 @@ def lift_jit(f: Callable, roots: Sequence[Any],
     call.lifted_sites = sites           # introspection/debugging
     call.__wrapped__ = f
     call._jf = jf                       # e.g. ._jf.lower() for program-size probes
+
+    def lower(*args):
+        """Lower with the CURRENT lifted leaves + the given (possibly
+        abstract ShapeDtypeStruct) user args — compile-only memory/size
+        probes without executing (scripts/mem_audit3d.py)."""
+        leaves = [getattr(o, n) for o, n in sites]
+        return jf.lower(leaves, *args)
+
+    call.lower = lower
     return call

@@ -71,12 +71,16 @@ def main():
                     help="lift + run the hi-precision residual once "
                          "(catches lift_jit inline warnings; implies "
                          "--solver)")
+    ap.add_argument("--compile-residual", action="store_true",
+                    help="lower + compile the hi-residual program and "
+                         "print XLA memory_analysis (the program the "
+                         "2.05M split_programs run OOMed in)")
     ap.add_argument("--compile-ir", action="store_true",
                     help="lower + compile the IR solve program and print "
                          "XLA memory_analysis (slow at scale; implies "
                          "--solver)")
     args = ap.parse_args()
-    if args.residual or args.compile_ir:
+    if args.residual or args.compile_ir or args.compile_residual:
         args.solver = True
 
     import jax
@@ -140,7 +144,8 @@ def main():
     bcs = [DirichletBC.velocity(asm.W, [meshmod.WALL],
                                 lambda x: np.zeros((x.shape[0], 3))),
            DirichletBC.velocity(asm.W, [meshmod.INFLOW], inflow)]
-    over = {"pcd.variant": "BRM2", "dtype": args.dtype,
+    over = {"krylov.hi_res_f32": args.level >= 3,    # demo_step3d default
+            "pcd.variant": "BRM2", "dtype": args.dtype,
             "velocity.method": "gmg", "velocity.smooth_iters": 3,
             "velocity.cycles": 2, "pcd.ap.method": "gmg",
             "pcd.mp.method": "chebyshev",
@@ -162,6 +167,22 @@ def main():
         print(f"residual lift+run {time.time()-t0:.1f}s  |F|={rn:.3e}",
               flush=True)
         report("residual")
+
+    if args.compile_residual:
+        # the program the 2.05M w6 run died in (split_programs residual):
+        # lower+compile only, print XLA's buffer-assignment totals
+        t0 = time.time()
+        n = solver.n_u + solver.asm.n1
+        lowered = solver.make_residual_hi().lower(
+            jax.ShapeDtypeStruct((n,), jnp.float64))
+        print(f"residual lowered {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        compiled = lowered.compile()
+        print(f"residual compiled {time.time()-t0:.1f}s", flush=True)
+        ma = compiled.memory_analysis()
+        print(f"  temp {ma.temp_size_in_bytes/1e9:.2f} GB  "
+              f"args {ma.argument_size_in_bytes/1e9:.2f} GB  "
+              f"out {ma.output_size_in_bytes/1e9:.2f} GB", flush=True)
 
     if args.compile_ir:
         t0 = time.time()

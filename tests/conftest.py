@@ -59,3 +59,33 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if _DURATIONS.get(item.nodeid, 0.0) >= _SLOW_S:
             item.add_marker(pytest.mark.slow)
+
+
+# ----------------------------------------------------------------------- #
+# Duration recording: FENAPACK_RECORD_DURATIONS=/path/out.json makes a run
+# export every test's measured call duration (merged over an existing file,
+# so fast/slow tiers recorded in separate runs compose).  This is how
+# tests/durations.json is (re)generated:
+#   FENAPACK_RECORD_DURATIONS=tests/durations.json pytest -m "slow or not slow"
+# ----------------------------------------------------------------------- #
+_REC_PATH = os.environ.get("FENAPACK_RECORD_DURATIONS", "")
+_RECORDED = {}
+
+
+def pytest_runtest_logreport(report):
+    if _REC_PATH and report.when == "call":
+        _RECORDED[report.nodeid] = round(report.duration, 3)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not (_REC_PATH and _RECORDED):
+        return
+    try:
+        with open(_REC_PATH) as f:
+            merged = json.load(f)
+    except OSError:
+        merged = {}
+    merged.update(_RECORDED)
+    with open(_REC_PATH, "w") as f:
+        json.dump(merged, f, indent=0, sort_keys=True)
+        f.write("\n")
