@@ -134,6 +134,72 @@ def main():
         print(f"level {level}: n={n} iters single={it1} spmd={it8} "
               f"ring bytes/iter/device={per_iter/1e3:.1f} KB", flush=True)
 
+    # ---- 3D duct, NEWTON + SUPG + sharded velocity GMG (config-5 shape,
+    # the same construction __graft_entry__.dryrun_multichip certifies) --- #
+    from fenapack_tpu.fem import mesh3d
+    from fenapack_tpu.parallel.spmd_gmg import SPMDVelocityGMG
+    from fenapack_tpu.parallel.spmd_pcd import SPMDNonlinearSolver
+
+    def duct_inflow(x):
+        v = np.zeros((x.shape[0], 3))
+        v[:, 0] = 16.0 * x[:, 1] * (1 - x[:, 1]) * x[:, 2] * (1 - x[:, 2])
+        return v
+
+    nu3 = 0.02
+    hier3 = gmg.build_hierarchy(mesh3d.channel_mesh3d(1, length=2.0), 1)
+    asm3 = NSAssembler(hier3.fine, nu3, dtype=jnp.float64, quad_degree=4,
+                       reorder=True)
+    bcs3 = [DirichletBC.velocity(asm3.W, [meshmod.WALL],
+                                 lambda x: np.zeros((x.shape[0], 3))),
+            DirichletBC.velocity(asm3.W, [meshmod.INFLOW], duct_inflow)]
+    cfg3 = overrides(SolverConfig(), {
+        "pcd.variant": "BRM2", "dtype": "float64", "system_supg": True,
+        "krylov.rtol": 1e-6, "krylov.maxiter": 150})
+    nl3 = NonlinearSolver(asm3, bcs3, cfg3, linearization="newton")
+    ph3 = gmg.PressureHierarchy(hier3, jnp.float64,
+                                pcd_markers=[meshmod.OUTFLOW])
+    ap3 = SPMDPressureGMG(ph3, dmesh, dtype=jnp.float64,
+                          smooth_iters=2, cycles=2)
+    vh3 = gmg.VelocityHierarchy(hier3, nu3, jnp.float64,
+                                bc_markers=[meshmod.WALL, meshmod.INFLOW])
+    vg3 = SPMDVelocityGMG(vh3, dmesh, dtype=jnp.float64, smooth_iters=4,
+                          cycles=2, supg=True, newton=True)
+    snl = SPMDNonlinearSolver(nl3, dmesh, ap_gmg=ap3, velocity_gmg=vg3,
+                              maxiter=150, rtol_lin=1e-6)
+    out3 = snl.solve_fused(max_steps=3, rtol=0.0, damping=0.8)
+    n3 = nl3.n
+    d3 = 3
+    itemsize = np.dtype(np.float64).itemsize
+    sp3 = snl.sp
+
+    def rb(fr):
+        return 2 * fr.ring.halo * itemsize
+
+    def lvl_bytes(ring, n_pad):
+        if getattr(ring, "halo", 0):
+            return 2 * ring.halo * itemsize
+        if hasattr(ring, "halo"):            # patched all-gather fallback
+            return (n_dev - 1) * ring.n_loc * itemsize
+        return (n_dev - 1) * (n_pad // n_dev) * itemsize
+
+    a1_3 = rb(sp3._rings["a1"])
+    kp_3 = rb(sp3._rings["kp"])
+    mp_3 = rb(sp3.mp_ring)
+    D3 = sum(rb(r) for r in sp3.D_rings)
+    DT3 = sum(rb(r) for r in sp3.DT_rings)
+    ap_lv3 = sum(lvl_bytes(lv.ring, lv.n_pad) for lv in ap3.levels)
+    # velocity GMG: per smooth, d ring applies (+ d^2 Newton reaction
+    # applies on the SAME halo exchange pattern -> d*(1+d) ring volumes)
+    vg_lv3 = sum(lvl_bytes(lv["ring"], lv["n_pad"]) for lv in vg3.lv)
+    mp_it3 = nl3.oseen.config.pcd.mp.iters
+    per_iter3 = (d3 * a1_3 + D3 + DT3
+                 + vg3.cycles * 2 * vg3.smooth_iters * d3 * (1 + d3) * vg_lv3
+                 + mp_it3 * mp_3 + kp_3 + 2 * 2 * ap_lv3)
+    it3 = list(map(int, out3.linear_iters))
+    r3red = float(out3.nonlinear_res[-1] / out3.nonlinear_res[0])
+    print(f"3D duct newton: n={n3} iters/step={it3} "
+          f"ring bytes/iter/device={per_iter3/1e3:.1f} KB", flush=True)
+
     lines = [
         "# Multi-chip evidence (virtual 8-device CPU mesh)",
         "",
@@ -175,6 +241,25 @@ def main():
         "",
         f"(halo widths at the finest level: A1={ring_rows[-1][1]}, "
         f"Mp={ring_rows[-1][2]}, D={ring_rows[-1][3]} columns)",
+        "",
+        "## 3D duct, Newton + SUPG + sharded velocity GMG (config-5 shape)",
+        "",
+        "The production SPMD wiring the driver's `dryrun_multichip`",
+        "certifies (`SPMDNonlinearSolver`: ring-halo operators, psum'd",
+        "CGS2, shard-local PCD fieldsplit, sharded pressure AND velocity",
+        "GMG with Newton (d,d) reaction levels), on the 3D tet Taylor-Hood",
+        "duct at Re~O(100):",
+        "",
+        "| dofs | Newton steps | FGMRES iters/step | nl-residual reduction |"
+        " ICI bytes/iter/device |",
+        "|---|---|---|---|---|",
+        f"| {n3} | 3 | {it3} | {r3red:.2e} | {per_iter3/1e3:.1f} KB |",
+        "",
+        "Velocity-GMG level smoothers dominate the 3D schedule (d(1+d)",
+        "ring applies per smooth with the Newton reaction coupling);",
+        "coarse levels whose RCM bandwidth exceeds the per-device block",
+        "ride the all-gather fallback, so their full level vector counts",
+        "as ICI volume — still KBs at these sizes.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "doc", "multichip_evidence.md")
