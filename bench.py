@@ -47,17 +47,83 @@ def _probe_tpu(timeout_s: float) -> bool:
         return False
 
 
-if "FENAPACK_PLATFORM" not in os.environ:
-    # backend init can stall legitimately (first-connect ~30-500 s); only
-    # fall back when the service is truly unreachable
-    if not _probe_tpu(float(os.environ.get("BENCH_PROBE_S", "900"))):
+def _cpu_env(env):
+    """CPU-fallback env: level 1 keeps wall sane; the df32 Pallas kernel
+    only runs in (very slow) interpret mode off-TPU."""
+    e = dict(env)
+    e["FENAPACK_PLATFORM"] = "cpu"
+    e.setdefault("BENCH_LEVEL", "1")
+    e.setdefault("BENCH_DF32", "0")
+    return e
+
+
+def _wrapper():
+    """Outer driver (no jax import): run the benchmark worker in a
+    subprocess, retry transient axon service failures, fall back to CPU.
+
+    Round-3 post-mortem: a single mid-warmup ``remote_compile: response
+    body closed`` propagated as rc=1 and erased the round's perf evidence
+    (BENCH_r03.json parsed=null).  The service errors observed
+    (INTERNAL / UNAVAILABLE / FAILED_PRECONDITION right after another
+    process exits) are transient — SURVEY round-2 notes say retry once.
+    This wrapper guarantees: the LAST stdout line is always valid in-band
+    JSON and the exit code is always 0.
+    """
+    base = dict(os.environ, BENCH_WRAPPED="1")
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "2700"))
+    if "FENAPACK_PLATFORM" in base:
+        plans = [("explicit", base), ("explicit-retry", base)]
+    elif _probe_tpu(float(os.environ.get("BENCH_PROBE_S", "900"))):
+        plans = [("tpu", base), ("tpu-retry", base),
+                 ("cpu-fallback", _cpu_env(base))]
+    else:
         print("bench: TPU backend unreachable -> CPU fallback",
               file=sys.stderr, flush=True)
-        os.environ["FENAPACK_PLATFORM"] = "cpu"
-        # CPU-fallback defaults: level 1 keeps wall sane; the df32 Pallas
-        # kernel only runs in (very slow) interpret mode off-TPU
-        os.environ.setdefault("BENCH_LEVEL", "1")
-        os.environ.setdefault("BENCH_DF32", "0")
+        plans = [("cpu", _cpu_env(base)), ("cpu-retry", _cpu_env(base))]
+
+    backoff = 10.0
+    last_err = ""
+    for i, (tag, env) in enumerate(plans):
+        if i > 0:
+            time.sleep(backoff)
+            backoff = min(backoff * 3, 120.0)
+        print(f"bench: attempt {i + 1}/{len(plans)} [{tag}]",
+              file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=attempt_timeout,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last_err = f"{tag}: timeout after {attempt_timeout:.0f}s"
+            print(f"bench: {last_err}", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(r.stderr[-4000:])
+        for line in reversed(r.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    continue
+                if "metric" in parsed:
+                    print(line, flush=True)
+                    return 0
+        last_err = (f"{tag}: rc={r.returncode} "
+                    f"tail={r.stderr.strip()[-300:]!r}")
+        print(f"bench: attempt failed: {last_err}", file=sys.stderr,
+              flush=True)
+    # every attempt failed: still emit in-band JSON so the round records a
+    # structured failure rather than parsed=null
+    print(json.dumps({
+        "metric": "step2d_re100_picard_pcd_nl1e-5_lin1e-8_wall_s",
+        "value": None, "unit": "s", "vs_baseline": None,
+        "detail": {"error": last_err[:400]},
+    }), flush=True)
+    return 0
+
+
+if os.environ.get("BENCH_WRAPPED") != "1" and __name__ == "__main__":
+    sys.exit(_wrapper())
 
 import jax
 

@@ -62,6 +62,31 @@ def build_cavity_problem(level=0, nu=0.002):
     return mesh, W, bcs
 
 
+def build_cylinder_problem(level=0):
+    """Schafer-Turek cylinder channel (DFG 2D-1, Re=20, nu=1e-3) — the
+    geometry of ``demos/demo_cylinder.py``: refine-with-snap so the mesh
+    matches ``gmg.build_hierarchy(cylinder_channel_mesh(0), level,
+    snap=snap_to_circle)`` exactly."""
+    mesh = meshmod.cylinder_channel_mesh(0)
+    for _ in range(level):
+        mesh, _ = meshmod.refine_uniform(mesh)
+        meshmod.snap_to_circle(mesh)
+    W = TaylorHood(mesh)
+    u_m = 0.3            # peak of the parabola; Ubar = 0.2, Re = 20
+
+    def inflow(x):
+        vals = np.zeros((x.shape[0], 2))
+        vals[:, 0] = 4.0 * u_m * x[:, 1] * (0.41 - x[:, 1]) / 0.41 ** 2
+        return vals
+
+    bcs = [
+        DirichletBC.velocity(W, [meshmod.WALL, meshmod.CYLINDER],
+                             lambda x: np.zeros((x.shape[0], 2))),
+        DirichletBC.velocity(W, [meshmod.INFLOW], inflow),
+    ]
+    return mesh, W, bcs
+
+
 def marked_facet_edges(mesh, marker):
     sel = mesh.facet_markers == marker
     return mesh.boundary_facets[sel]
