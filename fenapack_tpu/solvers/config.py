@@ -51,9 +51,13 @@ class KrylovConfig:
     # eta > 0 runs the second Gram-Schmidt pass only when the first
     # projection shrank |w| below eta * |w_pre| (Kahan-Parlett "twice is
     # enough"); each skipped pass saves the two O(m n) projection/update
-    # ops — the dominant Krylov-algebra cost at 2D bench scale
-    # (doc/perf_analysis.md).  Classic safe choice: 0.707 (1/sqrt 2).
-    reorth_eta: float = 0.0
+    # ops — the dominant Krylov-algebra cost at 2D bench scale.
+    # Default 0.707 (1/sqrt 2, the classic safe threshold), adopted after
+    # the round-4 on-chip A/B at identical iteration counts (253 == 253):
+    # Krylov algebra 3.89 -> 3.13 ms/iter (-19.5%), per-outer-iteration
+    # 9.90 -> 9.13 ms, bench wall 2.50 -> 2.31 s
+    # (results/r4_bench_eta{0,707}.json; doc/perf_analysis.md).
+    reorth_eta: float = 0.707
     # GCRO-DR recycle-space dimension (0 = off): deflates the slowest
     # Krylov directions across IR rounds (same operator) and nonlinear
     # steps (nearby operator), removing the per-round Arnoldi startup cost
