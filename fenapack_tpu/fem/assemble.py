@@ -679,6 +679,29 @@ class NSAssembler:
         flat = vals.reshape(-1).at[self.kp_surf_pos].add(elem_s.ravel())
         return flat.reshape(vals.shape)
 
+    def supg_p1_values(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Streamline-diffusion values for the SCALAR P1 convection-diffusion
+        operator ``nu Ap + nu Kp(u)`` (the GMG p-coarsening bottom level,
+        solvers/gmg.py::PCoarseTransfer).
+
+        Same Elman-Silvester-Wathen delta as :meth:`supg_values`, assembled
+        on P1 test/trial gradients (cell-constant, so the streamline term is
+        ``delta_c (w . g1_l)(w . g1_m)`` per quadrature point).  Without it
+        the bottom level's EXACT inverse amplifies the oscillatory Galerkin
+        modes at cell Peclet > 1 (measured on DFG 2D-1 l0: wind-on steps
+        cost 85-94 outer iterations vs the 41-50 oracle; wind-off step 1
+        matches at 42-43)."""
+        uq = self.wind_at_quad(u)                       # (nc, nq, d)
+        umag = jnp.sqrt(jnp.sum(uq * uq, axis=-1))      # (nc, nq)
+        h = self.h_cell[:, None]
+        pe = umag * h / (2.0 * self.nu)
+        delta = jnp.where(pe > 1.0,
+                          h / jnp.maximum(2.0 * umag, 1e-30)
+                          * (1.0 - 1.0 / jnp.maximum(pe, 1.0)), 0.0)
+        v = jnp.einsum("cqd,cmd->cqm", uq, self.g1)     # (w . grad q_m)
+        elem = jnp.einsum("cq,cql,cqm->clm", self.wdet * delta, v, v)
+        return self.pat_p1.assemble_values(elem)
+
     def supg_values(self, u: jnp.ndarray, hi: bool = False) -> jnp.ndarray:
         """Streamline-diffusion (SUPG) stabilization element values.
 

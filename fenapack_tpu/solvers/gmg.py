@@ -262,6 +262,27 @@ def make_vcycle(matvecs: Sequence[Callable], dinvs: Sequence[jnp.ndarray],
 # pressure (Ap) GMG
 # --------------------------------------------------------------------- #
 
+class _PLevel:
+    """One pressure-hierarchy level (asm, Ap, mask).
+
+    A CLASS rather than a tuple so the per-level ``mask`` array lives on an
+    object attribute: ``runtime.lift_jit`` can only swap attribute sites, and
+    a bare device array inside a mixed tuple inlines into the serialized
+    program as a frozen literal (the VERDICT r3 #8 warning on the cylinder
+    path — ``levels[l][2]`` was exactly this).  Iterates/indexes like the
+    old tuple so existing unpacking call sites are unchanged.
+    """
+
+    def __init__(self, asm, Ap, mask):
+        self.asm, self.Ap, self.mask = asm, Ap, mask
+
+    def __iter__(self):
+        return iter((self.asm, self.Ap, self.mask))
+
+    def __getitem__(self, i):
+        return (self.asm, self.Ap, self.mask)[i]
+
+
 class PressureHierarchy:
     """Per-level pressure stiffness + transfer, for the Ap subsolve.
 
@@ -320,7 +341,7 @@ class PressureHierarchy:
                 # mask would send a SINGULAR operator to the masked dense
                 # coarse solve)
                 mask = None
-            self.levels.append((asm, Ap, mask))
+            self.levels.append(_PLevel(asm, Ap, mask))
             q_ranks.append(np.asarray(asm.W.Q.rank) if reorder else None)
             if l > 0:
                 self.transfers.append(P1Transfer(
@@ -530,6 +551,9 @@ class VelocityHierarchy:
         self.dtype = dtype
         self.asms = []
         self.masks = []          # scalar-space masks (n2,)
+        self.masks_np = []       # host copies (trace-safe: the jnp masks
+                                 # get lifted to jit arguments, so reading
+                                 # them at trace time yields tracers)
         self.transfers = []
         if reorder is None:
             reorder = (fine_asm is not None
@@ -555,10 +579,60 @@ class VelocityHierarchy:
             if bc_markers:
                 m[asm.W.V.facet_dofs(list(bc_markers))] = 1.0
             self.masks.append(jnp.asarray(m, dtype=dtype))
+            self.masks_np.append(m)
             if l > 0:
                 self.transfers.append(P2Transfer(
                     hier.meshes[l - 1], mesh, dtype, block_size=block_size,
                     rank_fine=v_ranks[l], rank_coarse=v_ranks[l - 1]))
+
+
+class PCoarseTransfer:
+    """P1 <-> P2 embedding on ONE mesh (p-coarsening bottom level).
+
+    ``prolong`` is the finite-element interpolation of a P1 function into
+    the P2 space on the same mesh (vertex dofs copy, edge-midpoint dofs
+    average their edge's endpoints); ``restrict`` is its transpose.  Used
+    when a hierarchy's BASE mesh is already too large for a dense coarse
+    solve (the DFG cylinder: resolving the circle puts ~18.6k P2 velocity
+    dofs on level 0, over FENAPACK_GMG_DENSE_MAX) — the P1 space of the
+    same mesh is 4x smaller, bringing back an exact (dense-inverse) bottom
+    solve.  Measured effect on DFG 2D-1 l0 Newton outer counts (CPU f64):
+    622 total with the minres-sweep coarse fallback vs 186 oracle; the
+    weak bottom solve was the entire gap (scripts/tune_cylinder.py:
+    exact-Ap/strong-Ap/Mp changes moved nothing, velocity-only 4x4 GMG
+    still 467).
+    """
+
+    def __init__(self, W, dtype):
+        mesh = W.mesh
+        nv, ne = mesh.num_vertices, mesh.num_edges
+        self.n_coarse = W.Q.dim
+        self.n_fine = W.V.dim
+        v_ids = np.asarray(W.V.vertex_dofs(), dtype=np.int64)
+        rankV = getattr(W.V, "rank", None)
+        e_old = nv + np.arange(ne)
+        e_ids = np.asarray(rankV)[e_old] if rankV is not None else e_old
+        q_of_v = (np.asarray(W.Q.rank, dtype=np.int64)
+                  if hasattr(W.Q, "rank") else np.arange(nv, dtype=np.int64))
+        IA = np.zeros(self.n_fine, dtype=np.int64)
+        IB = np.zeros(self.n_fine, dtype=np.int64)
+        IA[v_ids] = q_of_v
+        IB[v_ids] = q_of_v
+        IA[e_ids] = q_of_v[mesh.edges[:, 0]]
+        IB[e_ids] = q_of_v[mesh.edges[:, 1]]
+        # one 0.5 weight per index slot: vertex rows hit the same P1 dof
+        # twice (0.5 + 0.5 = identity), edge rows average their endpoints
+        self._IA = jnp.asarray(IA.astype(np.int32))
+        self._IB = jnp.asarray(IB.astype(np.int32))
+        self._dtype = dtype
+
+    def prolong(self, xc):
+        return (0.5 * (xc[self._IA] + xc[self._IB])).astype(xc.dtype)
+
+    def restrict(self, rf):
+        rw = 0.5 * rf
+        z = jnp.zeros(self.n_coarse, rf.dtype)
+        return z.at[self._IA].add(rw).at[self._IB].add(rw)
 
 
 class _VectorTransfer:
@@ -682,6 +756,64 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
     asm0 = vh.asms[0]
     mask0 = masks_u[0]
     dense_cap = int(os.environ.get("FENAPACK_GMG_DENSE_MAX", "8192"))
+
+    if (d * asm0.n2 > dense_cap >= d * asm0.n1
+            and os.environ.get("FENAPACK_GMG_PCOARSE", "1") == "1"):
+        # ------------------------------------------------------------- #
+        # p-coarsening bottom level (see PCoarseTransfer): the base mesh's
+        # P2 space is too large for a dense coarse inverse, but its P1
+        # space is not.  Append a P1-on-the-same-mesh level below the base:
+        # operator = nu * (Ap + Kp)(wind) [+ inv_dt * M1] per component
+        # (Picard form — the Newton reaction is left to the smoothed P2
+        # levels; a PC-only inexactness), mask = the vertex part of the
+        # base velocity mask, transfer = FE embedding P1 c= P2.
+        # ------------------------------------------------------------- #
+        n1 = asm0.n1
+        w0 = winds[0]
+        kp0 = asm0.kp_values(w0.astype(dtype))
+        p1_vals = (vh.nu * (asm0.const.Ap.vals.astype(dtype) + kp0)
+                   + asm0.supg_p1_values(w0.astype(dtype)))
+        if theta != 1.0 or inv_dt != 0.0:
+            m1_vals = vh.nu * asm0.const.Mp.vals.astype(dtype)
+            p1_vals = theta * p1_vals + inv_dt * m1_vals
+        # vertex part of the base-level scalar velocity mask -> P1 ids
+        # (host numpy copy: the jnp masks are lifted to jit arguments and
+        # are tracers here)
+        m0 = vh.masks_np[0]
+        v_ids = np.asarray(asm0.W.V.vertex_dofs(), dtype=np.int64)
+        q_of_v = (np.asarray(asm0.W.Q.rank, dtype=np.int64)
+                  if hasattr(asm0.W.Q, "rank")
+                  else np.arange(asm0.W.mesh.num_vertices, dtype=np.int64))
+        mask1_np = np.ones(n1)                       # padding rows pinned
+        mask1_np[q_of_v] = m0[v_ids]
+        mask1 = jnp.asarray(np.concatenate([mask1_np] * d), dtype=dtype)
+        free1 = 1.0 - mask1
+        P1m = asm0.pat_p1.matrix(p1_vals)
+
+        def mv_p1(x, P1m=P1m, free=free1, mask=mask1, n1=n1):
+            xf = free * x
+            ys = [P1m.mv(xf[a * n1:(a + 1) * n1]) for a in range(d)]
+            return free * jnp.concatenate(ys) + mask * x
+
+        diag_p1 = jnp.concatenate(
+            [P1m.diag_from(asm0.pat_p1.diag_pos)] * d)
+        diag_p1 = jnp.where(mask1 > 0, 1.0, diag_p1)
+        A1pd = asm0.pat_p1.to_dense(p1_vals)
+        Zp = jnp.zeros_like(A1pd)
+        Ap_blk = jnp.block([[A1pd if a == b else Zp for b in range(d)]
+                            for a in range(d)])
+        Ap_blk = (free1[:, None] * Ap_blk * free1[None, :]
+                  + jnp.diag(mask1))
+        Ainv_p1 = jnp.linalg.inv(Ap_blk)
+        matvecs.insert(0, mv_p1)
+        dinvs.insert(0, 1.0 / diag_p1)
+        masks_u.insert(0, mask1)
+        vtransfers.insert(0, _VectorTransfer(
+            PCoarseTransfer(asm0.W, dtype), n1, asm0.n2, d=d))
+        return make_vcycle(matvecs, dinvs, vtransfers,
+                           lambda b: Ainv_p1 @ b, masks_u,
+                           smooth_iters=cfg.smooth_iters, omega=omega,
+                           cycles=cfg.cycles, smoother=cfg.smoother)
 
     def coarse_solve_factory():
         if d * asm0.n2 > dense_cap:

