@@ -187,12 +187,16 @@ def main():
     if args.compile_ir:
         t0 = time.time()
         n_u = solver.n_u
-        ir = solver.oseen.make_ir_solve(2e-6 if args.dtype == "float32"
-                                        else 1e-8, _jit=False)
         n = n_u + solver.asm.n1
-        lowered = jax.jit(ir).lower(
-            jax.ShapeDtypeStruct((n_u,), jnp.float64),
-            jax.ShapeDtypeStruct((n,), jnp.float64))
+        # the split_programs per-round program (one capped FGMRES solve),
+        # lowered through its LIFTED wrapper: a bare jax.jit here inlines
+        # every operator constant into the serialized program and the
+        # remote compiler rejects it at 2M (HTTP 413, measured round 4)
+        dt_lo = jnp.dtype(jnp.float32 if args.dtype == "float32"
+                          else jnp.float64)
+        lowered = solver.oseen._solve_jit.lower(
+            jax.ShapeDtypeStruct((n_u,), dt_lo),
+            jax.ShapeDtypeStruct((n,), dt_lo))
         print(f"IR lowered {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
         compiled = lowered.compile()
