@@ -771,8 +771,13 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
         n1 = asm0.n1
         w0 = winds[0]
         kp0 = asm0.kp_values(w0.astype(dtype))
+        # .astype(dtype) on the SUPG term is load-bearing: h_cell is f64
+        # under x64, and a promoted f64 operator reaches jnp.linalg.inv,
+        # which TPU LuDecomposition rejects (f32/c64 only — measured
+        # compile error on the l0 mixed-precision record)
         p1_vals = (vh.nu * (asm0.const.Ap.vals.astype(dtype) + kp0)
-                   + asm0.supg_p1_values(w0.astype(dtype)))
+                   + asm0.supg_p1_values(w0.astype(dtype)).astype(dtype)
+                   ).astype(dtype)
         if theta != 1.0 or inv_dt != 0.0:
             m1_vals = vh.nu * asm0.const.Mp.vals.astype(dtype)
             p1_vals = theta * p1_vals + inv_dt * m1_vals
