@@ -104,8 +104,11 @@ def main():
                     help="DFG 2D-2: Re=100 vortex shedding + Strouhal")
     ap.add_argument("--t-end", type=float, default=8.0)
     ap.add_argument("--dt", type=float, default=0.0125)
-    ap.add_argument("--chunk", type=int, default=80,
-                    help="2D-2: time steps per fused device call")
+    ap.add_argument("--chunk", default="auto",
+                    help="2D-2: time steps per fused device call; 'auto' "
+                         "measures the first chunks and sizes against the "
+                         "~120 s service execution budget (doc/tpu_design"
+                         ".md) instead of hand-tuning per campaign")
     ap.add_argument("--hist", default="/tmp/cylinder_2d2_hist.csv",
                     help="2D-2: streamed (t, cD, cL, dP) history file")
     ap.add_argument("--ckpt", default=None,
@@ -179,7 +182,8 @@ def main():
                                 points=[(0.15, 0.2), (0.25, 0.2)],
                                 scheme="bdf2", dt=args.dt)
     n_steps = int(round(args.t_end / args.dt))
-    chunk = max(1, min(args.chunk, n_steps))
+    auto_chunk = str(args.chunk) == "auto"
+    chunk = 2 if auto_chunk else max(1, min(int(args.chunk), n_steps))
     hist = []          # (t, cD, cL, dP) accumulated across chunks
 
     def summarize(final=False):
@@ -207,19 +211,21 @@ def main():
         # state carried in f64); history flushes to --hist per chunk so a
         # worker fault/timeout loses at most one chunk
         import jax.numpy as jnp
-        full = us.make_full_unsteady(chunk, functional=fn,
-                                     external_carry=True)
         w = us.initial_state()
         kr = cfg.krylov.recycle
         carry = (w, w[:n_u], us.initial_recycle() if kr else jnp.zeros(0))
         done = 0
         ckpt = args.ckpt or (args.hist + ".ckpt.npz")
-        ck_key = f"l{args.level}_dt{args.dt:g}_chunk{chunk}_{dtype}"
+        # chunk is NOT part of the key: it only shapes the device program,
+        # so a resumed run may re-derive a different (auto) chunk size
+        ck_key = f"l{args.level}_dt{args.dt:g}_{dtype}"
         if not args.no_resume and os.path.exists(ckpt):
             ck = np.load(ckpt, allow_pickle=False)
             if str(ck["key"]) == ck_key and int(ck["done"]) < n_steps:
                 carry = tuple(jnp.asarray(ck[f"c{i}"]) for i in range(3))
                 done = int(ck["done"])
+                if auto_chunk and "chunk" in ck:
+                    chunk = int(ck["chunk"])  # skip re-measuring compiles
                 with open(args.hist) as f:
                     next(f)
                     hist.extend(tuple(float(v) for v in ln.split(","))
@@ -236,7 +242,10 @@ def main():
         if done == 0:
             with open(args.hist, "w") as f:
                 f.write("t,cD,cL,dP\n")
+        full = us.make_full_unsteady(chunk, functional=fn,
+                                     external_carry=True)
         import time as _time
+        calls = 0
         while done < n_steps:
             t0 = _time.perf_counter()
             carry, rns, its, vals = full(carry)
@@ -249,13 +258,28 @@ def main():
                 for r in rows:
                     f.write(",".join(f"{v:.10g}" for v in r) + "\n")
             done += chunk
-            np.savez(ckpt + ".tmp.npz", key=ck_key, done=done,
+            np.savez(ckpt + ".tmp.npz", key=ck_key, done=done, chunk=chunk,
                      **{f"c{i}": np.asarray(c) for i, c in enumerate(carry)})
             os.replace(ckpt + ".tmp.npz", ckpt)
+            wall = _time.perf_counter() - t0
             print(f"t={rows[-1][0]:7.3f}  cD={rows[-1][1]:.4f}  "
                   f"cL={rows[-1][2]:+.4f}  "
                   f"iters/step={float(np.mean(np.asarray(its))):.1f}  "
-                  f"[{_time.perf_counter() - t0:.1f}s/chunk]", flush=True)
+                  f"[{wall:.1f}s/chunk]", flush=True)
+            calls += 1
+            if auto_chunk and calls == 2 and done < n_steps:
+                # call 1 paid the compile; call 2 is the warm measurement.
+                # Size the device call to ~45 s — comfortably inside the
+                # ~120 s service execution kill (doc/tpu_design.md), with
+                # headroom for slow early chunks while the wake develops.
+                per_step = wall / chunk
+                new_chunk = int(max(1, min(64, 45.0 / max(per_step, 1e-9))))
+                if new_chunk != chunk:
+                    chunk = new_chunk
+                    full = us.make_full_unsteady(chunk, functional=fn,
+                                                 external_carry=True)
+                    print(f"auto-chunk: {per_step:.1f}s/step measured -> "
+                          f"chunk {chunk} (one recompile)", flush=True)
             if done * 2 >= n_steps:
                 summarize()
     else:

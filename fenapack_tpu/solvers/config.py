@@ -62,6 +62,14 @@ class KrylovConfig:
     # Krylov directions across IR rounds (same operator) and nonlinear
     # steps (nearby operator), removing the per-round Arnoldi startup cost
     recycle: int = 0
+    # run operator assembly and the FGMRES solve as SEPARATE device
+    # programs inside host-driven IR (OseenSolver.solve_ir): the
+    # per-cell element-tensor einsums — the largest and worst
+    # tile-padded HLO temps at 3D scale — never share a program with
+    # the Krylov while_loop, and each wind assembles once instead of
+    # once per IR round.  The production setting for near-HBM-capacity
+    # problems (BASELINE config 4, 2.05M dofs).
+    split_assembly: bool = False
     # evaluate the OUTER system matvec (w = A z, once per FGMRES iteration)
     # with the high-precision (f64) operator while the preconditioner and
     # Krylov algebra stay f32: raises the per-round attainable true-residual

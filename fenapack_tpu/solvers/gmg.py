@@ -624,10 +624,9 @@ class PCoarseTransfer:
         # twice (0.5 + 0.5 = identity), edge rows average their endpoints
         self._IA = jnp.asarray(IA.astype(np.int32))
         self._IB = jnp.asarray(IB.astype(np.int32))
-        self._dtype = dtype
 
     def prolong(self, xc):
-        return (0.5 * (xc[self._IA] + xc[self._IB])).astype(xc.dtype)
+        return 0.5 * (xc[self._IA] + xc[self._IB])
 
     def restrict(self, rf):
         rw = 0.5 * rf
@@ -663,16 +662,62 @@ class _VectorTransfer:
                                 for c in comps])
 
 
-def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
-                                wind_fine, newton: bool, bc_mask_u_fine,
-                                dtype, omega: float = 0.6,
-                                supg: bool = False,
-                                theta: float = 1.0, inv_dt: float = 0.0):
-    """V-cycle preconditioner for the velocity block, re-discretizing the
-    convection(-reaction) operator on every level from the injected wind.
+def _velocity_gmg_plan(vh: VelocityHierarchy, d: int):
+    """(use_pcoarse, use_dense_coarse) — the bottom-level strategy, shared
+    by the assembly half and the closure half of the velocity V-cycle so a
+    split-program build agrees with the fused one."""
+    asm0 = vh.asms[0]
+    dense_cap = int(os.environ.get("FENAPACK_GMG_DENSE_MAX", "8192"))
+    pcoarse = (d * asm0.n2 > dense_cap >= d * asm0.n1
+               and os.environ.get("FENAPACK_GMG_PCOARSE", "1") == "1")
+    dense = (not pcoarse) and d * asm0.n2 <= dense_cap
+    return pcoarse, dense
 
-    ``wind_fine`` is the stacked (2*n2_f,) velocity iterate (traced).
-    ``bc_mask_u_fine`` is the fine stacked Dirichlet+padding mask.
+
+def _velocity_level_masks(vh: VelocityHierarchy, bc_mask_u_fine, d: int):
+    """Stacked per-level velocity masks, coarse->fine (fine = caller's)."""
+    L = len(vh.asms)
+    masks = []
+    for l in range(L):
+        if l == L - 1:
+            masks.append(bc_mask_u_fine)
+        else:
+            masks.append(jnp.concatenate([vh.masks[l]] * d))
+    return masks
+
+
+def _pcoarse_mask(vh: VelocityHierarchy, dtype, d: int):
+    """Stacked P1 Dirichlet+padding mask for the p-coarsening bottom level
+    (host numpy: the jnp level masks are lifted jit arguments and would be
+    tracers here)."""
+    asm0 = vh.asms[0]
+    n1 = asm0.n1
+    m0 = vh.masks_np[0]
+    v_ids = np.asarray(asm0.W.V.vertex_dofs(), dtype=np.int64)
+    q_of_v = (np.asarray(asm0.W.Q.rank, dtype=np.int64)
+              if hasattr(asm0.W.Q, "rank")
+              else np.arange(asm0.W.mesh.num_vertices, dtype=np.int64))
+    mask1_np = np.ones(n1)                       # padding rows pinned
+    mask1_np[q_of_v] = m0[v_ids]
+    return jnp.asarray(np.concatenate([mask1_np] * d), dtype=dtype)
+
+
+def velocity_gmg_values(vh: VelocityHierarchy, wind_fine, newton: bool,
+                        bc_mask_u_fine, dtype,
+                        supg: bool = False,
+                        theta: float = 1.0, inv_dt: float = 0.0):
+    """ASSEMBLY half of the velocity V-cycle: every wind-dependent value
+    the cycle needs, as one pytree — per-level operator values, the
+    p-coarse P1 values, and the dense bottom-level inverse.
+
+    Split out of :func:`make_velocity_gmg_from_wind` so near-HBM-capacity
+    problems can run assembly and the Krylov solve as SEPARATE device
+    programs: the per-cell element-tensor einsums here are the largest
+    HLO temps at 3D scale (the 2.05M config-4 compile dump shows them
+    4.7-43x tile-padding-expanded when XLA remats them across the FGMRES
+    while_loop — 14 GB of a 19.5 GB program).  Feeding the solve program
+    these values as *arguments* removes that entire class of temps from
+    it, and skips per-IR-round re-assembly as a bonus.
     """
     L = len(vh.asms)
     fine_asm = vh.asms[-1]
@@ -688,7 +733,6 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
         winds[l] = jnp.concatenate(
             [t.inject(wf[a * n2f:(a + 1) * n2f]) for a in range(d)])
 
-    matvecs, dinvs, masks_u, vtransfers = [], [], [], []
     def level_values(asm, wl):
         A1vals = asm.picard_matrix_values(wl).astype(dtype)
         if theta != 1.0 or inv_dt != 0.0:
@@ -702,17 +746,80 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
                 R = theta * R
         return A1vals, R
 
-    level_vals_cache = []
+    levels = [level_values(asm, winds[l]) for l, asm in enumerate(vh.asms)]
+    masks = _velocity_level_masks(vh, bc_mask_u_fine, d)
+    pcoarse, dense = _velocity_gmg_plan(vh, d)
+    asm0 = vh.asms[0]
+    p1_vals = None
+    coarse_inv = None
+
+    if pcoarse:
+        # p-coarsening bottom level (see PCoarseTransfer): operator =
+        # nu * (Ap + Kp)(wind) [+ theta/dt mass combination] + P1
+        # streamline diffusion per component (Picard form — the Newton
+        # reaction is left to the smoothed P2 levels; PC-only inexactness)
+        w0 = winds[0]
+        kp0 = asm0.kp_values(w0.astype(dtype))
+        # .astype(dtype) on the SUPG term is load-bearing: h_cell is f64
+        # under x64, and a promoted f64 operator reaches jnp.linalg.inv,
+        # which TPU LuDecomposition rejects (f32/c64 only — measured
+        # compile error on the l0 mixed-precision record)
+        p1_vals = vh.nu * (asm0.const.Ap.vals.astype(dtype) + kp0)
+        if theta != 1.0 or inv_dt != 0.0:
+            m1_vals = vh.nu * asm0.const.Mp.vals.astype(dtype)
+            p1_vals = theta * p1_vals + inv_dt * m1_vals
+        # SUPG added AFTER the theta/inv_dt combination, matching the P2
+        # levels (where level_values adds it to the already-combined
+        # operator) — a theta-scaled bottom stabilization would weaken
+        # the base level relative to the rest of the hierarchy
+        p1_vals = (p1_vals
+                   + asm0.supg_p1_values(w0.astype(dtype)).astype(dtype)
+                   ).astype(dtype)
+        mask1 = _pcoarse_mask(vh, dtype, d)
+        free1 = 1.0 - mask1
+        A1pd = asm0.pat_p1.to_dense(p1_vals)
+        Zp = jnp.zeros_like(A1pd)
+        Ap_blk = jnp.block([[A1pd if a == b else Zp for b in range(d)]
+                            for a in range(d)])
+        Ap_blk = (free1[:, None] * Ap_blk * free1[None, :]
+                  + jnp.diag(mask1))
+        coarse_inv = jnp.linalg.inv(Ap_blk)
+    elif dense:
+        A1vals, Rv = levels[0]
+        A1 = asm0.pat_p2.to_dense(A1vals)
+        Z = jnp.zeros_like(A1)
+        A = jnp.block([[A1 if a == b else Z for b in range(d)]
+                       for a in range(d)])
+        if Rv is not None:
+            blocks = [[asm0.pat_p2.to_dense(Rv[a, b]) for b in range(d)]
+                      for a in range(d)]
+            A = A + jnp.block(blocks)
+        mask0 = masks[0]
+        free0 = 1.0 - mask0
+        A = free0[:, None] * A * free0[None, :] + jnp.diag(mask0)
+        # explicit inverse: coarse solve = one MXU matmul per V-cycle
+        coarse_inv = jnp.linalg.inv(A)
+
+    return {"levels": levels, "p1_vals": p1_vals, "coarse_inv": coarse_inv}
+
+
+def make_velocity_gmg_from_values(vh: VelocityHierarchy,
+                                  cfg: SubsolveConfig, vals,
+                                  bc_mask_u_fine, dtype,
+                                  omega: float = 0.6):
+    """CLOSURE half of the velocity V-cycle: build the preconditioner
+    solve from pre-assembled :func:`velocity_gmg_values` output.  Contains
+    no element-tensor assembly — safe to trace into a memory-tight Krylov
+    program (see velocity_gmg_values docstring)."""
+    L = len(vh.asms)
+    d = vh.asms[-1].dim
+    level_masks = _velocity_level_masks(vh, bc_mask_u_fine, d)
+
+    matvecs, dinvs, masks_u, vtransfers = [], [], [], []
     for l, asm in enumerate(vh.asms):
-        wl = winds[l]
-        A1vals, R = level_values(asm, wl)
-        level_vals_cache.append((A1vals, R))
+        A1vals, R = vals["levels"][l]
         n2 = asm.n2
-        if l == L - 1:
-            mask_u = bc_mask_u_fine
-        else:
-            m = vh.masks[l]
-            mask_u = jnp.concatenate([m] * d)
+        mask_u = level_masks[l]
         free = 1.0 - mask_u
         A1 = asm.pat_p2.matrix(A1vals)
 
@@ -742,58 +849,19 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
             vtransfers.append(_VectorTransfer(vh.transfers[l - 1],
                                               vh.asms[l - 1].n2, n2, d=d))
 
-    # coarse solve: dense masked LU of the traced coarse operator — but
-    # only when the coarse space is genuinely small.  On meshes whose base
-    # level is already fine (e.g. the DFG cylinder geometry: the circle
-    # needs resolution, so the l=0 P2 space is ~18.6k dofs) an explicit
-    # inverse is 1.4 GB of HBM and its LU panel overflows scoped VMEM at
-    # AOT compile ("LuDecompositionBlock ... exceeded scoped vmem limit",
-    # measured 2026-08-19).  Past the cap, fall back to a truncated
-    # V-cycle: the coarse "solve" is a fixed budget of minimal-residual
-    # smoothing sweeps (robust for the nonsymmetric velocity operator);
-    # FGMRES is flexible, so an inexact coarse solve only shifts iteration
-    # counts slightly.
+    # bottom level: dense masked inverse when the coarse space is small,
+    # p-coarse P1 level when only its P1 space is (see PCoarseTransfer
+    # docstring for the measured iteration-count cliff behind this), else
+    # a fixed budget of minimal-residual sweeps (FGMRES is flexible, so an
+    # inexact coarse solve only shifts iteration counts slightly).
     asm0 = vh.asms[0]
-    mask0 = masks_u[0]
-    dense_cap = int(os.environ.get("FENAPACK_GMG_DENSE_MAX", "8192"))
+    pcoarse, dense = _velocity_gmg_plan(vh, d)
 
-    if (d * asm0.n2 > dense_cap >= d * asm0.n1
-            and os.environ.get("FENAPACK_GMG_PCOARSE", "1") == "1"):
-        # ------------------------------------------------------------- #
-        # p-coarsening bottom level (see PCoarseTransfer): the base mesh's
-        # P2 space is too large for a dense coarse inverse, but its P1
-        # space is not.  Append a P1-on-the-same-mesh level below the base:
-        # operator = nu * (Ap + Kp)(wind) [+ inv_dt * M1] per component
-        # (Picard form — the Newton reaction is left to the smoothed P2
-        # levels; a PC-only inexactness), mask = the vertex part of the
-        # base velocity mask, transfer = FE embedding P1 c= P2.
-        # ------------------------------------------------------------- #
+    if pcoarse:
         n1 = asm0.n1
-        w0 = winds[0]
-        kp0 = asm0.kp_values(w0.astype(dtype))
-        # .astype(dtype) on the SUPG term is load-bearing: h_cell is f64
-        # under x64, and a promoted f64 operator reaches jnp.linalg.inv,
-        # which TPU LuDecomposition rejects (f32/c64 only — measured
-        # compile error on the l0 mixed-precision record)
-        p1_vals = (vh.nu * (asm0.const.Ap.vals.astype(dtype) + kp0)
-                   + asm0.supg_p1_values(w0.astype(dtype)).astype(dtype)
-                   ).astype(dtype)
-        if theta != 1.0 or inv_dt != 0.0:
-            m1_vals = vh.nu * asm0.const.Mp.vals.astype(dtype)
-            p1_vals = theta * p1_vals + inv_dt * m1_vals
-        # vertex part of the base-level scalar velocity mask -> P1 ids
-        # (host numpy copy: the jnp masks are lifted to jit arguments and
-        # are tracers here)
-        m0 = vh.masks_np[0]
-        v_ids = np.asarray(asm0.W.V.vertex_dofs(), dtype=np.int64)
-        q_of_v = (np.asarray(asm0.W.Q.rank, dtype=np.int64)
-                  if hasattr(asm0.W.Q, "rank")
-                  else np.arange(asm0.W.mesh.num_vertices, dtype=np.int64))
-        mask1_np = np.ones(n1)                       # padding rows pinned
-        mask1_np[q_of_v] = m0[v_ids]
-        mask1 = jnp.asarray(np.concatenate([mask1_np] * d), dtype=dtype)
+        mask1 = _pcoarse_mask(vh, dtype, d)
         free1 = 1.0 - mask1
-        P1m = asm0.pat_p1.matrix(p1_vals)
+        P1m = asm0.pat_p1.matrix(vals["p1_vals"])
 
         def mv_p1(x, P1m=P1m, free=free1, mask=mask1, n1=n1):
             xf = free * x
@@ -803,48 +871,45 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
         diag_p1 = jnp.concatenate(
             [P1m.diag_from(asm0.pat_p1.diag_pos)] * d)
         diag_p1 = jnp.where(mask1 > 0, 1.0, diag_p1)
-        A1pd = asm0.pat_p1.to_dense(p1_vals)
-        Zp = jnp.zeros_like(A1pd)
-        Ap_blk = jnp.block([[A1pd if a == b else Zp for b in range(d)]
-                            for a in range(d)])
-        Ap_blk = (free1[:, None] * Ap_blk * free1[None, :]
-                  + jnp.diag(mask1))
-        Ainv_p1 = jnp.linalg.inv(Ap_blk)
+        Ainv_p1 = vals["coarse_inv"]
         matvecs.insert(0, mv_p1)
         dinvs.insert(0, 1.0 / diag_p1)
         masks_u.insert(0, mask1)
         vtransfers.insert(0, _VectorTransfer(
             PCoarseTransfer(asm0.W, dtype), n1, asm0.n2, d=d))
-        return make_vcycle(matvecs, dinvs, vtransfers,
-                           lambda b: Ainv_p1 @ b, masks_u,
-                           smooth_iters=cfg.smooth_iters, omega=omega,
-                           cycles=cfg.cycles, smoother=cfg.smoother)
+        coarse_solve = lambda b: Ainv_p1 @ b
+    elif dense:
+        Ainv = vals["coarse_inv"]
+        coarse_solve = lambda b: Ainv @ b
+    else:
+        mv0, dinv0 = matvecs[0], dinvs[0]
+        sweeps = max(8, 2 * cfg.smooth_iters)
 
-    def coarse_solve_factory():
-        if d * asm0.n2 > dense_cap:
-            mv0, dinv0 = matvecs[0], dinvs[0]
-            sweeps = max(8, 2 * cfg.smooth_iters)
+        def coarse_solve(b):
+            x = _minres_smooth(mv0, dinv0, sweeps, b, jnp.zeros_like(b))
+            return _minres_smooth(mv0, dinv0, sweeps, b, x)
 
-            def iterative_coarse(b):
-                x = _minres_smooth(mv0, dinv0, sweeps, b, jnp.zeros_like(b))
-                return _minres_smooth(mv0, dinv0, sweeps, b, x)
-            return iterative_coarse
-        A1vals, Rv = level_vals_cache[0]
-        A1 = asm0.pat_p2.to_dense(A1vals)
-        Z = jnp.zeros_like(A1)
-        A = jnp.block([[A1 if a == b else Z for b in range(d)]
-                       for a in range(d)])
-        if Rv is not None:
-            blocks = [[asm0.pat_p2.to_dense(Rv[a, b]) for b in range(d)]
-                      for a in range(d)]
-            A = A + jnp.block(blocks)
-        free0 = 1.0 - mask0
-        A = free0[:, None] * A * free0[None, :] + jnp.diag(mask0)
-        # explicit inverse: coarse solve = one MXU matmul per V-cycle
-        Ainv = jnp.linalg.inv(A)
-        return lambda b: Ainv @ b
-
-    coarse_solve = coarse_solve_factory()
     return make_vcycle(matvecs, dinvs, vtransfers, coarse_solve, masks_u,
                        smooth_iters=cfg.smooth_iters, omega=omega,
                        cycles=cfg.cycles, smoother=cfg.smoother)
+
+
+def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
+                                wind_fine, newton: bool, bc_mask_u_fine,
+                                dtype, omega: float = 0.6,
+                                supg: bool = False,
+                                theta: float = 1.0, inv_dt: float = 0.0):
+    """V-cycle preconditioner for the velocity block, re-discretizing the
+    convection(-reaction) operator on every level from the injected wind.
+
+    ``wind_fine`` is the stacked (d*n2_f,) velocity iterate (traced).
+    ``bc_mask_u_fine`` is the fine stacked Dirichlet+padding mask.
+    Composition of :func:`velocity_gmg_values` (assembly) and
+    :func:`make_velocity_gmg_from_values` (closures); split callers invoke
+    the halves as separate device programs.
+    """
+    vals = velocity_gmg_values(vh, wind_fine, newton, bc_mask_u_fine,
+                               dtype, supg=supg, theta=theta,
+                               inv_dt=inv_dt)
+    return make_velocity_gmg_from_values(vh, cfg, vals, bc_mask_u_fine,
+                                         dtype, omega=omega)

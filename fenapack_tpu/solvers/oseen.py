@@ -565,6 +565,69 @@ class OseenSolver:
                                    self._bt_mv, self.free_u)
         return matvec, pc
 
+    # ---- split-assembly pipeline (near-HBM-capacity problems) -------- #
+    def _pipeline_values(self, wind):
+        """ASSEMBLY half of :meth:`_pipeline`: every wind-dependent value
+        as one pytree.  Runs as its own device program under
+        ``krylov.split_assembly`` so the element-tensor einsums (the
+        dominant, heavily tile-padded HLO temps at 3D scale — see
+        gmg.velocity_gmg_values docstring) never share a program with the
+        FGMRES loop."""
+        cfg = self.config
+        A1vals, R = self._operator_values(wind)
+        kpvals = self.asm.kp_values(
+            wind, surface=(cfg.pcd.variant == "BRM2")).astype(self.dtype)
+        A1pc = None
+        if cfg.jpc_supg and not cfg.system_supg:
+            A1pc = A1vals + self.asm.supg_values(wind).astype(self.dtype)
+        gvals = None
+        if cfg.velocity.method == "gmg":
+            from .gmg import velocity_gmg_values
+            gvals = velocity_gmg_values(
+                self.velocity_hierarchy, wind.astype(self.dtype),
+                self.linearization == "newton", self.bc_mask_u,
+                self.dtype, supg=(cfg.jpc_supg or cfg.system_supg),
+                theta=self.theta, inv_dt=self.inv_dt)
+        return {"A1vals": A1vals, "R": R, "kpvals": kpvals,
+                "A1pc": A1pc, "gmg": gvals}
+
+    def _pipeline_from_values(self, vals):
+        """CLOSURE half of :meth:`_pipeline`: (matvec, pc) from
+        pre-assembled values — no element-tensor assembly in the trace."""
+        cfg = self.config
+        A1vals, R = vals["A1vals"], vals["R"]
+        kp = self.asm.pat_p1.matrix(vals["kpvals"])
+        matvec = self._matvec_factory(A1vals, R)
+        A1pc = vals["A1pc"] if vals["A1pc"] is not None else A1vals
+        if cfg.velocity.method == "gmg":
+            from .gmg import make_velocity_gmg_from_values
+            a_solve = make_velocity_gmg_from_values(
+                self.velocity_hierarchy, cfg.velocity, vals["gmg"],
+                self.bc_mask_u, self.dtype)
+        else:
+            a_solve = self._velocity_solver(A1pc, R)
+        pcd = self.pcd_apply
+        schur_solve = lambda r_p: pcd(kp, r_p)
+        pc = make_fieldsplit_upper(self.n_u, a_solve, schur_solve,
+                                   self._bt_mv, self.free_u)
+        return matvec, pc
+
+    def _solve_vals_impl(self, vals, b):
+        cfg = self.config
+        matvec, pc = self._pipeline_from_values(vals)
+        return fgmres(matvec, pc, b, maxiter=cfg.krylov.maxiter,
+                      rtol=cfg.krylov.rtol, atol=cfg.krylov.atol,
+                      reorth_eta=cfg.krylov.reorth_eta)
+
+    def _split_jits(self):
+        from ..runtime import lift_jit
+        if not hasattr(self, "_values_jit"):
+            self._values_jit = lift_jit(self._pipeline_values,
+                                        self._lift_roots)
+            self._solve_vals_jit = lift_jit(self._solve_vals_impl,
+                                            self._lift_roots)
+        return self._values_jit, self._solve_vals_jit
+
     def initial_recycle(self):
         """Empty GCRO-DR recycle space matching ``config.krylov.recycle``
         (single home for the dtype rule: the hi-Krylov space lives in the
@@ -752,6 +815,15 @@ class OseenSolver:
         tol = max(rtol * bnorm, atol)
         x = jnp.zeros_like(b_hi)
         wind_lo = wind.astype(self.dtype)
+        vals = None
+        if self.config.krylov.split_assembly:
+            # assemble ONCE per wind as its own device program; each IR
+            # round's solve program then takes the operator values as
+            # arguments — no element-tensor temps inside the Krylov
+            # while_loop (the 2.05M config-4 OOM class), and no per-round
+            # re-assembly
+            values_jit, solve_vals_jit = self._split_jits()
+            vals = values_jit(wind_lo)
         hist = []
         total = 0
         for rnd in range(max_rounds):
@@ -763,7 +835,9 @@ class OseenSolver:
             hist.append(rn)
             if rn <= tol or rn == 0.0:
                 break
-            res = self._solve_jit(wind_lo, (r / rn).astype(self.dtype))
+            r_lo = (r / rn).astype(self.dtype)
+            res = (solve_vals_jit(vals, r_lo) if vals is not None
+                   else self._solve_jit(wind_lo, r_lo))
             total += int(res.iters)
             x = x + rn * res.x.astype(dt_hi)
         return x, total, hist

@@ -23,7 +23,7 @@ def step_inflow(x):
 
 
 def build_gmg_solver(levels=1, variant="BRM2", velocity="gmg", ap="gmg",
-                     linearization="picard"):
+                     linearization="picard", **cfg_over):
     hier = gmg.build_hierarchy(meshmod.backward_step_mesh(0), levels)
     mesh = hier.fine
     asm = NSAssembler(mesh, 0.02)
@@ -38,15 +38,19 @@ def build_gmg_solver(levels=1, variant="BRM2", velocity="gmg", ap="gmg",
         "pcd.ap.method": ap,
         "pcd.ap.smooth_iters": 2,
         "pcd.ap.cycles": 1,
+        **cfg_over,
     })
+    # hierarchy arrays live in the COMPUTE dtype (f32 when a mixed config
+    # is requested, as in the 3D/cylinder production drivers)
+    hdt = jnp.dtype(cfg_over.get("dtype", "float64"))
     ap_h = None
     if ap == "gmg":
         marker = meshmod.INFLOW if variant == "BRM1" else meshmod.OUTFLOW
-        ap_h = gmg.PressureHierarchy(hier, jnp.float64,
+        ap_h = gmg.PressureHierarchy(hier, hdt,
                                      pcd_markers=[marker])
     v_h = None
     if velocity == "gmg":
-        v_h = gmg.VelocityHierarchy(hier, 0.02, jnp.float64,
+        v_h = gmg.VelocityHierarchy(hier, 0.02, hdt,
                                     bc_markers=[meshmod.WALL, meshmod.INFLOW],
                                     fine_asm=asm)
     return NonlinearSolver(asm, bcs, cfg, linearization=linearization,

@@ -92,3 +92,35 @@ def test_full_solve_matches_fused_loop(recycle):
     assert its == r1.linear_iters, (its, r1.linear_iters)
     # cached wrapper: second build returns the same object (no retrace)
     assert b.make_full_solve(rtol=1e-5, rtol_lin=1e-8, max_steps=25) is full
+
+
+@pytest.mark.parametrize("linearization", ["picard", "newton"])
+def test_split_assembly_matches_fused(linearization):
+    """krylov.split_assembly runs assembly and the FGMRES solve as two
+    device programs (the 2.05M config-4 memory fix); the math is the same
+    trace cut at a program boundary, so solve_ir must reproduce the fused
+    path's trajectory — iteration counts and solution."""
+    from tests.test_gmg import build_gmg_solver
+
+    def build(split):
+        return build_gmg_solver(
+            levels=1, linearization=linearization,
+            **{"dtype": "float32", "krylov.rtol": 2e-6,
+               "krylov.maxiter": 80, "krylov.split_assembly": split})
+
+    nl_f = build(False)
+    F = nl_f._residual(nl_f.initial_state())
+    b = -jnp.asarray(np.asarray(F), dtype=jnp.float64)
+    wind = nl_f.initial_state()[:nl_f.n_u]
+    x_f, it_f, hist_f = nl_f.oseen.solve_ir(wind, b, rtol=1e-8)
+
+    nl_s = build(True)
+    x_s, it_s, hist_s = nl_s.oseen.solve_ir(wind, b, rtol=1e-8)
+
+    bn = float(jnp.linalg.norm(b))
+    assert hist_s[-1] <= 1e-8 * bn * 1.5
+    # identical math, different program boundaries: counts may differ by
+    # at most rounding at a tolerance edge
+    assert abs(it_s - it_f) <= 2, (it_s, it_f)
+    diff = float(jnp.linalg.norm(x_s - x_f) / jnp.linalg.norm(x_f))
+    assert diff < 1e-6, diff
