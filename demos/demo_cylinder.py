@@ -38,7 +38,8 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
     from fenapack_tpu.fem import mesh as meshmod
     from fenapack_tpu.fem.assemble import NSAssembler
     from fenapack_tpu.fem.dofmap import DirichletBC
-    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers.config import (SolverConfig, env_overrides,
+                                             overrides)
     from fenapack_tpu.solvers import gmg
 
     nu = UBAR[re] * D / re
@@ -77,6 +78,7 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
         v_h = gmg.VelocityHierarchy(hier, nu, hdtype, bc_markers=noslip
                                     + [meshmod.INFLOW], fine_asm=asm)
     cfg = overrides(SolverConfig(), over)
+    cfg = env_overrides(cfg)
     return asm, bcs, cfg, ap_h, v_h, nu
 
 

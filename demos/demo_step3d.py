@@ -63,7 +63,8 @@ def build(args):
     from fenapack_tpu.fem import mesh3d, mesh as meshmod
     from fenapack_tpu.fem.assemble import NSAssembler
     from fenapack_tpu.fem.dofmap import DirichletBC
-    from fenapack_tpu.solvers.config import SolverConfig, overrides
+    from fenapack_tpu.solvers.config import (SolverConfig, env_overrides,
+                                             overrides)
     from fenapack_tpu.solvers.nonlinear import NonlinearSolver
 
     dtype = args.dtype or ("float64" if jax.default_backend() == "cpu"
@@ -102,6 +103,10 @@ def build(args):
                   else bool(args.hi_res_f32))
     over = {"system_supg": args.supg,
             "krylov.hi_res_f32": hi_res_f32,
+            # near-HBM-capacity levels: assembly and the FGMRES solve as
+            # separate device programs (element-tensor temps never share a
+            # program with the Krylov loop — the 2.05M config-4 fix)
+            "krylov.split_assembly": args.level >= 3,
             "pcd.variant": args.pcd, "dtype": dtype,
             "velocity.method": args.velocity,
             "velocity.iters": args.velocity_iters,
@@ -131,6 +136,7 @@ def build(args):
     cfg = overrides(SolverConfig(), over)
     if over["pcd.ap.method"] == "chebyshev":
         cfg = overrides(cfg, {"pcd.ap.bounds": None})
+    cfg = env_overrides(cfg)
     solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls,
                              ap_hierarchy=ap_h, velocity_hierarchy=v_h)
     ndof = 3 * asm.n2_real + asm.n1_real

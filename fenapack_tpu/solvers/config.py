@@ -163,3 +163,23 @@ def overrides(cfg: Any, mapping: dict) -> Any:
     for k, v in mapping.items():
         cfg = override(cfg, k, v)
     return cfg
+
+
+def env_overrides(cfg: Any) -> Any:
+    """Apply ``FENAPACK_CFG`` — comma-separated dotted ``key=value`` pairs
+    (values through ast.literal_eval, else kept as strings), e.g.
+    ``FENAPACK_CFG=krylov.hi_krylov=True,krylov.maxiter=60``.  The demo
+    drivers call this LAST, so campaign scripts can A/B any solver knob
+    without editing driver code (the moral equivalent of the reference's
+    PETSc option database on the command line)."""
+    import ast
+    import os
+    spec = os.environ.get("FENAPACK_CFG", "")
+    for item in filter(None, (s.strip() for s in spec.split(","))):
+        k, _, v = item.partition("=")
+        try:
+            val = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            val = v
+        cfg = override(cfg, k.strip(), val)
+    return cfg

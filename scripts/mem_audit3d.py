@@ -79,8 +79,15 @@ def main():
                     help="lower + compile the IR solve program and print "
                          "XLA memory_analysis (slow at scale; implies "
                          "--solver)")
+    ap.add_argument("--compile-split", action="store_true",
+                    help="lower + compile the krylov.split_assembly pair "
+                         "(values program + from-values FGMRES program) "
+                         "and print XLA memory_analysis of each — the "
+                         "round-5 2.05M fix is validated when BOTH fit "
+                         "HBM individually (implies --solver)")
     args = ap.parse_args()
-    if args.residual or args.compile_ir or args.compile_residual:
+    if (args.residual or args.compile_ir or args.compile_residual
+            or args.compile_split):
         args.solver = True
 
     import jax
@@ -211,6 +218,44 @@ def main():
         except Exception as e:
             print(f"  memory_analysis unavailable: {e}", flush=True)
         report("ir_compiled")
+
+    if args.compile_split:
+        def pa(tag, compiled):
+            try:
+                ma = compiled.memory_analysis()
+                print(f"  [{tag}] temp {ma.temp_size_in_bytes/1e9:.2f} GB  "
+                      f"args {ma.argument_size_in_bytes/1e9:.2f} GB  "
+                      f"out {ma.output_size_in_bytes/1e9:.2f} GB",
+                      flush=True)
+            except Exception as e:
+                print(f"  [{tag}] memory_analysis unavailable: {e}",
+                      flush=True)
+
+        n_u = solver.n_u
+        n = n_u + solver.asm.n1
+        dt_lo = jnp.dtype(jnp.float32 if args.dtype == "float32"
+                          else jnp.float64)
+        values_jit, solve_vals_jit = solver.oseen._split_jits()
+        t0 = time.time()
+        low_v = values_jit.lower(jax.ShapeDtypeStruct((n_u,), dt_lo))
+        print(f"values lowered {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        comp_v = low_v.compile()
+        print(f"values compiled {time.time()-t0:.1f}s", flush=True)
+        pa("values", comp_v)
+        # abstract operator-values pytree for the solve program's shapes
+        vals_info = low_v.out_info
+        t0 = time.time()
+        low_s = solve_vals_jit.lower(vals_info,
+                                     jax.ShapeDtypeStruct((n,), dt_lo))
+        print(f"solve-from-values lowered {time.time()-t0:.1f}s",
+              flush=True)
+        t0 = time.time()
+        comp_s = low_s.compile()
+        print(f"solve-from-values compiled {time.time()-t0:.1f}s",
+              flush=True)
+        pa("solve", comp_s)
+        report("split_compiled")
 
 
 if __name__ == "__main__":

@@ -124,6 +124,17 @@ def test_dfg_2d1_benchmark_coefficients(ls):
     res = nl.solve(rtol=1e-8)
     assert res.converged
 
+    # golden-parity (ADVICE r4: consume the cylinder golden_counts): the
+    # scipy exact-LU oracle needs [41, 50, 50, 45] — GMG-inexact subsolves
+    # may cost a bounded factor over that, never a blowup (the p-coarse
+    # bottom level regression showed as 100-400 cap-saturated counts here)
+    import json, os
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "golden_counts.json")) as f:
+        golden = json.load(f)["cylinder/l0/BRM2/newton"]["linear_iters"]
+    for ours, ref in zip(res.linear_iters, golden):
+        assert ours <= 1.35 * ref + 2, (res.linear_iters, golden)
+
     n_u = 2 * asm.n2
     F = boundary_reaction(asm, res.w[:n_u], res.w[n_u:],
                           [meshmod.CYLINDER])
