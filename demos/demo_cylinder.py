@@ -185,7 +185,10 @@ def main():
                                 scheme="bdf2", dt=args.dt)
     n_steps = int(round(args.t_end / args.dt))
     auto_chunk = str(args.chunk) == "auto"
-    chunk = 2 if auto_chunk else max(1, min(int(args.chunk), n_steps))
+    # the probe chunk is 1: a single step can already sit near the ~120 s
+    # service execution kill at fine levels (chunk=2 at l2 crashed the
+    # worker reproducibly before any measurement existed)
+    chunk = 1 if auto_chunk else max(1, min(int(args.chunk), n_steps))
     hist = []          # (t, cD, cL, dP) accumulated across chunks
 
     def summarize(final=False):
