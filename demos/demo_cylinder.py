@@ -120,6 +120,13 @@ def main():
                          "restarting from t=0")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore an existing checkpoint")
+    ap.add_argument("--warm-from", default=None,
+                    help="2D-2: seed the scan by FE-prolonging a one-level-"
+                         "coarser run's checkpoint (its developed limit "
+                         "cycle) instead of the impulsive start — the St/"
+                         "cDmax/cLmax window only needs established "
+                         "shedding, so the fine level can skip the "
+                         "transient's wall-clock entirely")
     ap.add_argument("--maxiter", type=int, default=None,
                     help="Krylov dimension cap (program size; default "
                          "config value — shrink on near-capacity runs)")
@@ -244,6 +251,33 @@ def main():
                         f.write(",".join(f"{v:.10g}" for v in r) + "\n")
                 print(f"resumed from {ckpt} at step {done} "
                       f"(t={done * args.dt:.3f})", flush=True)
+        if done == 0 and args.warm_from:
+            # prolong (u, p, u_prev) from the coarser run's checkpoint:
+            # vertex/edge FE interpolation P2->P2, parent-pair P1->P1.
+            # BDF2 continues cleanly — the carried u_prev pair replaces
+            # the implicit-Euler impulsive start.
+            from fenapack_tpu.solvers.gmg import (P1Transfer, P2Transfer,
+                                                  _VectorTransfer)
+            ckw = np.load(args.warm_from, allow_pickle=False)
+            hier = v_h.hier
+            mc = hier.meshes[-2]
+            t2 = P2Transfer(mc, hier.meshes[-1], jnp.float64)
+            n2c = t2.n_coarse
+            n1c = mc.num_vertices
+            vt = _VectorTransfer(t2, n2c, asm.n2, d=2)
+            t1 = P1Transfer(hier.parents[-1], n1c, jnp.float64)
+            wc = np.asarray(ckw["c0"], dtype=np.float64)
+            assert wc.shape[0] == 2 * n2c + n1c, (wc.shape, n2c, n1c)
+            u = vt.prolong(jnp.asarray(wc[:2 * n2c]))
+            p = t1.prolong(jnp.asarray(wc[2 * n2c:]))
+            if asm.n1 > p.shape[0]:
+                p = jnp.pad(p, (0, asm.n1 - p.shape[0]))
+            u_prev = vt.prolong(jnp.asarray(
+                np.asarray(ckw["c1"], dtype=np.float64)))
+            carry = (jnp.concatenate([u, p]), u_prev, carry[2])
+            print(f"warm start: prolonged {args.warm_from} "
+                  f"({2 * n2c + n1c} -> {n_u + asm.n1} dofs, coarse step "
+                  f"{int(ckw['done'])})", flush=True)
         if done == 0:
             with open(args.hist, "w") as f:
                 f.write("t,cD,cL,dP\n")

@@ -882,9 +882,11 @@ class OseenSolver:
                 # (the cylinder mixed-path multiplier, VERDICT r4 weak #1)
                 rt = jnp.asarray(max(tol / rn, 1e-14), dt_hi)
                 r_sc = (r / rn).astype(dt_hi)
-                res = (hi_vals_jit(vals, wind_lo, r_sc, rt)
+                # full-precision wind: the hi round's operator is the
+                # accuracy-bearing one (the f32 wind only feeds the PC)
+                res = (hi_vals_jit(vals, wind_hi, r_sc, rt)
                        if vals is not None
-                       else hi_wind_jit(wind_lo, r_sc, rt))
+                       else hi_wind_jit(wind_hi, r_sc, rt))
             else:
                 r_lo = (r / rn).astype(self.dtype)
                 res = (solve_vals_jit(vals, r_lo) if vals is not None
