@@ -25,8 +25,9 @@ run() { # name envspec block
 
 # A: block transfers (un-evict the materialized P2 transfer operators)
 run blocktrans "FENAPACK_TRANSFER_BLOCK_SCALE=1.0" 8
-# B: b=16 level operators (1.5x faster matvec at 3d-l3, spmv_table) + A
-run b16_blocktrans "FENAPACK_TRANSFER_BLOCK_SCALE=1.0" 16
+# B: b=32 level operators (449 GB/s vs b=8's 92 at 3d-l3, spmv_table;
+#    b=8 exists for 2M HBM capacity, which 761k doesn't need) + A
+run b32_blocktrans "FENAPACK_TRANSFER_BLOCK_SCALE=1.0" 32
 # C: B + single V-cycle per apply (counts may rise; net decides)
-run b16_bt_cy1 "FENAPACK_TRANSFER_BLOCK_SCALE=1.0 FENAPACK_CFG=velocity.cycles=1" 16
+run b32_bt_cy1 "FENAPACK_TRANSFER_BLOCK_SCALE=1.0 FENAPACK_CFG=velocity.cycles=1" 32
 log "vcycle A/B done"
