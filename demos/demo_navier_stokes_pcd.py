@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-5,
                     help="nonlinear relative tolerance")
     ap.add_argument("--krylov-rtol", type=float, default=1e-8)
+    ap.add_argument("--damping", type=float, default=1.0,
+                    help="nonlinear update damping (high-Re continuation: "
+                         "~0.7 at Re >= 2000)")
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap on nonlinear steps (default: solver's)")
     ap.add_argument("--dtype", default=None,
                     help="float32|float64|mixed (default: f64 on CPU, "
                          "mixed on TPU).  'mixed' is the TPU production "
@@ -107,6 +112,8 @@ def main():
                 hier, args.nu, hdtype,
                 bc_markers=[meshmod.WALL, meshmod.INFLOW], fine_asm=asm)
         cfg = overrides(SolverConfig(), over)
+        from fenapack_tpu.solvers.config import env_overrides
+        cfg = env_overrides(cfg)   # FENAPACK_CFG=key=val,... applied last
         solver = NonlinearSolver(asm, bcs, cfg, linearization=args.nls,
                                  ap_hierarchy=ap_h, velocity_hierarchy=v_h)
 
@@ -117,12 +124,16 @@ def main():
     print(f"solver: {args.nls} + PCD-{args.pcd} FGMRES ({args.ls} subsolves, "
           f"dtype {dtype})")
 
+    ms = {} if args.max_steps is None else {"max_steps": args.max_steps}
     with timings("nonlinear solve"), device_trace(args.trace):
         if dtype == "mixed":
             res = solver.solve_fused(rtol=args.rtol,
-                                     rtol_lin=args.krylov_rtol, verbose=True)
+                                     rtol_lin=args.krylov_rtol,
+                                     damping=args.damping, verbose=True,
+                                     **ms)
         else:
-            res = solver.solve(rtol=args.rtol, verbose=True)
+            res = solver.solve(rtol=args.rtol, damping=args.damping,
+                               verbose=True, **ms)
 
     print(f"\nconverged: {res.converged}  "
           f"nonlinear steps: {len(res.linear_iters)}")

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from .mesh import INFLOW
 from .dofmap import TaylorHood
 from ..ops.sparse import ELL, SparsityPattern, pattern_from_dofmaps
+from ..runtime import intern as _intern
 
 
 def _pad_rows(a: np.ndarray, n_extra: int) -> np.ndarray:
@@ -97,7 +98,16 @@ class NSAssembler:
                  quad_degree: int = 5, inflow_marker: int = INFLOW,
                  row_align: int = 1, block_size: Optional[int] = None,
                  reorder: Optional[bool] = None, block_dtype=None,
-                 hi_block: bool = False):
+                 hi_block: bool = False, p1_only: bool = False):
+        """``p1_only``: pressure-space-only assembler (pat_p1 + Ap/Mp).
+
+        PressureHierarchy levels need exactly the P1 Laplacian; the full
+        constructor also builds P2/div patterns, L/M2/D/DT constants,
+        flat-assembly tables and facet data — measured 3.5+ GB of dead
+        device residency at the 2.05M config-4 scale
+        (scripts/r5_resident_audit.py) and ~30 s of the per-level setup.
+        """
+        self._p1_only = bool(p1_only)
         self.mesh = mesh
         self.nu = float(nu)
         self.dtype = dtype
@@ -178,16 +188,16 @@ class NSAssembler:
 
         self._cd2_np = _pad_rows(cd2, nc_pad)
         self._cd1_np = _pad_rows(cd1, nc_pad)
-        self.cd2 = jnp.asarray(self._cd2_np)
-        self.cd1 = jnp.asarray(self._cd1_np)
+        self.cd2 = _intern(self._cd2_np)
+        self.cd1 = _intern(self._cd1_np)
         # cell diameters (max edge length) for SUPG; 0 on phantom cells
         e = np.linalg.norm(v - np.roll(v, 1, axis=1), axis=2).max(axis=1)
         self.h_cell = jnp.asarray(np.concatenate([e, np.zeros(nc_pad)]),
                                   dtype=dtype)
-        self.Jinv = jnp.asarray(Jinv, dtype=dtype)       # (nc, d, d) padded
+        self.Jinv = _intern(Jinv, dtype=dtype)           # (nc, d, d) padded
         self.dphi2 = jnp.asarray(dphi2, dtype=dtype)     # (nq, nb2, d)
         self.g1 = jnp.asarray(g1, dtype=dtype)
-        self.adet = jnp.asarray(adet, dtype=dtype)
+        self.adet = _intern(adet, dtype=dtype)
         self.qw = jnp.asarray(qw, dtype=dtype)
         self.phi2 = jnp.asarray(phi2, dtype=dtype)
         self.phi1 = jnp.asarray(phi1, dtype=dtype)
@@ -232,6 +242,9 @@ class NSAssembler:
             pats = []
             for (cr, cc, nr, ncol), width, sc in zip(dofmaps, widths,
                                                      scales):
+                if self._p1_only and nr + ncol != 2 * self.n1:
+                    pats.append(None)
+                    continue
                 pat = pattern_from_dofmaps(cr, cc, nr, ncol, block=block)
                 if (block and hasattr(pat, "fill_ratio")
                         and not block_layout_ok(pat, scale=sc)):
@@ -254,11 +267,14 @@ class NSAssembler:
             self.pat_p2_hi, self.pat_p1_hi = self.pat_p2, self.pat_p1
             self.pat_div_hi, self.pat_divT_hi = self.pat_div, self.pat_divT
 
-        # flat-assembly tables: EAGER build (host context) — see _flat
-        _ = self._flat
+        if not self._p1_only:
+            # flat-assembly tables: EAGER build (host context) — see _flat
+            _ = self._flat
 
-        # --- boundary facet data for surface integrals --------------------
-        self._setup_facets(inflow_marker)
+            # --- boundary facet data for surface integrals ----------------
+            self._setup_facets(inflow_marker)
+        else:
+            self.n_inflow_facets = 0
 
         # --- constant operators -------------------------------------------
         if bs:
@@ -406,35 +422,50 @@ class NSAssembler:
         import contextlib
         phi2 = self.phi2 if not on_cpu else put(self._host_tabs["phi2"])
 
+        # storage dtype: out_dtype when given; otherwise the ASSEMBLER
+        # dtype.  The host path above always computes in f64 — without the
+        # cast an f32 assembler (pressure/velocity hierarchy levels) keeps
+        # every constant at twice the bytes (measured: f64 level constants
+        # were a leading term of the 14 GB residency at 2.05M dofs)
+        od = out_dtype
+        if od is None and jnp.dtype(self.dtype) != jnp.dtype(jnp.float64):
+            od = self.dtype
+
         def asm_op(pat, elem):
             vals = pat.assemble_values(elem, host=on_cpu)
-            if out_dtype is not None:
+            if od is not None:
                 # accumulate in assembler precision (f64), cast the RESULT:
                 # f32-accumulated sums carry ~2e-6 relative error, which
                 # costs extra IR rounds; one op's f64 temporary at a time
                 # (eager init context) stays within HBM with the factored
                 # integrals
-                vals = jax.block_until_ready(vals.astype(out_dtype))
+                vals = jax.block_until_ready(vals.astype(od))
             if on_cpu:
                 vals = jax.device_put(np.asarray(vals), tgt)
             return pat.matrix(vals)
 
         with (ctx if ctx is not None else contextlib.nullcontext()):
+            # masses: adet_c * (sum_q qw phi phi)
+            mref1 = jnp.einsum("q,ql,qm->lm", qw, phi1, phi1)
+            mass_p1 = adet[:, None, None] * mref1[None] / self.nu
+
+            stiff_p1 = jnp.einsum("c,cld,cmd->clm", adet * jnp.sum(qw),
+                                  g1, g1)
+
+            if self._p1_only:
+                return ConstOperators(L=None, Mp=asm_op(p1, mass_p1),
+                                      Ap=asm_op(p1, stiff_p1), M2=None,
+                                      D=(), DT=())
+
             # viscous: adet_c * M_ckl * T_klij ; M = Jinv Jinv^T (metric),
             # T_klij = sum_q qw dphi_qik dphi_qjl   (reference tensor)
             M = jnp.einsum("ckd,cld->ckl", Jinv, Jinv)
             T = jnp.einsum("q,qik,qjl->klij", qw, dphi2, dphi2)
             visc = jnp.einsum("c,ckl,klij->cij", adet, M, T)
 
-            # masses: adet_c * (sum_q qw phi phi)
             if not skip_m2:
                 mref2 = jnp.einsum("q,qi,qj->ij", qw, phi2, phi2)
                 mass_p2 = adet[:, None, None] * mref2[None]
-            mref1 = jnp.einsum("q,ql,qm->lm", qw, phi1, phi1)
-            mass_p1 = adet[:, None, None] * mref1[None] / self.nu
-
-            stiff_p1 = jnp.einsum("c,cld,cmd->clm", adet * jnp.sum(qw),
-                                  g1, g1)
 
             # divergence: D_a[l,j] = -adet * (sum_q qw phi1 dphi_qjk) Jinv
             R = jnp.einsum("q,ql,qjk->ljk", qw, phi1, dphi2)

@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..runtime import intern as _intern
+
 
 def block_layout_ok(pat, scale: float = 1.0) -> bool:
     """Keep a block-tile layout, or evict to the compact gather/ELL path?
@@ -53,6 +55,13 @@ def block_layout_ok(pat, scale: float = 1.0) -> bool:
     if mf is not None and pat.fill_ratio > float(mf):
         return False
     maxbytes = float(os.environ.get("FENAPACK_BLOCK_MAXBYTES", "1e9"))
+    # near-HBM-capacity escape hatch: tighten ONLY the cold (scale < 1)
+    # patterns — the round-4 2M attempts showed a global MAXBYTES cut
+    # also evicts the hot square operators (every smoother sweep) to the
+    # ~100x-slower gather path, trading an OOM for an execution kill
+    cold = os.environ.get("FENAPACK_BLOCK_MAXBYTES_COLD")
+    if cold is not None and scale < 1.0:
+        return pat.nb * pat.m * pat.block * pat.block * 4 <= float(cold)
     return pat.nb * pat.m * pat.block * pat.block * 4 <= scale * maxbytes
 
 
@@ -239,12 +248,12 @@ class SparsityPattern:
         self._layout(urow, ucol)      # sets value_shape, _upos, aux arrays
 
         self._entry_pos_np = self._upos[inverse].astype(np.int32)
-        self.entry_pos = jnp.asarray(self._entry_pos_np)
+        self.entry_pos = _intern(self._entry_pos_np)
         if n_rows == n_cols:
             dmask = urow == ucol
             dp = np.zeros(n_rows, dtype=np.int64)
             dp[urow[dmask]] = self._upos[dmask]
-            self.diag_pos = jnp.asarray(dp, dtype=np.int32)
+            self.diag_pos = _intern(dp, dtype=np.int32)
         else:
             self.diag_pos = None
 
@@ -259,7 +268,7 @@ class SparsityPattern:
         self.value_shape = (self.n_rows, K)
         ell_cols = np.zeros((self.n_rows, K), dtype=np.int32)
         ell_cols.reshape(-1)[self._upos] = ucol
-        self.cols = jnp.asarray(ell_cols)
+        self.cols = _intern(ell_cols)
 
     @property
     def value_size(self) -> int:
@@ -375,10 +384,10 @@ class SparsityPattern:
         self._upos = d["upos"]
         self.K = int(d["K"])
         self.value_shape = (n_rows, self.K)
-        self.cols = jnp.asarray(d["ell_cols"])
+        self.cols = _intern(d["ell_cols"])
         self._entry_pos_np = d["entry_pos"].astype(np.int32)
-        self.entry_pos = jnp.asarray(self._entry_pos_np)
-        self.diag_pos = (jnp.asarray(d["diag_pos"])
+        self.entry_pos = _intern(self._entry_pos_np)
+        self.diag_pos = (_intern(d["diag_pos"])
                          if d["diag_pos"].size else None)
         return self
 
@@ -430,7 +439,7 @@ class BlockSparsityPattern(SparsityPattern):
                       + slot_e * b + ucol % b)
         self.nb, self.m = nb, m
         self.value_shape = (nb, b, m * b)
-        self.nbr = jnp.asarray(nbr)
+        self.nbr = _intern(nbr)
         self.fill_ratio = float(nb * m * b * b) / max(self.nnz, 1)
 
     def matrix(self, vals: jnp.ndarray):
@@ -461,11 +470,11 @@ class BlockSparsityPattern(SparsityPattern):
         assert b == self.block
         self.nb, self.m = nb, m
         self.value_shape = (nb, b, m * b)
-        self.nbr = jnp.asarray(d["nbr"])
+        self.nbr = _intern(d["nbr"])
         self.fill_ratio = float(nb * m * b * b) / max(self.nnz, 1)
         self._entry_pos_np = d["entry_pos"].astype(np.int32)
-        self.entry_pos = jnp.asarray(self._entry_pos_np)
-        self.diag_pos = (jnp.asarray(d["diag_pos"])
+        self.entry_pos = _intern(self._entry_pos_np)
+        self.diag_pos = (_intern(d["diag_pos"])
                          if d["diag_pos"].size else None)
         return self
 

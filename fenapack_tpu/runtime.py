@@ -39,6 +39,40 @@ class Holder:
         self.__dict__.update(arrays)
 
 
+_INTERN_POOL: dict = {}
+
+
+def intern(arr, dtype=None):
+    """Upload a host array to the device, DEDUPLICATED by content.
+
+    The round-5 2.05M-dof residency audit (scripts/r5_resident_audit.py)
+    measured ~5.9 GB of int32 pattern indices resident as 8-16 identical
+    copies: every NSAssembler / hierarchy-level / cache-load constructs its
+    own device copy of the same cols/entry_pos/nbr tables.  Content-keyed
+    interning collapses them to one buffer (device arrays are immutable
+    and nothing in this codebase donates arguments, so sharing is safe).
+
+    Process-lifetime retention is intentional — these are setup artifacts
+    that would otherwise live exactly as long anyway.  Disable with
+    FENAPACK_INTERN=0 (then this is a plain jnp.asarray).
+    """
+    import os
+    import hashlib
+    import jax.numpy as jnp
+    a = np.asarray(arr, dtype=dtype)
+    if os.environ.get("FENAPACK_INTERN", "1") == "0" or a.nbytes < (1 << 16):
+        return jnp.asarray(a)
+    h = hashlib.blake2b(np.ascontiguousarray(a).view(np.uint8),
+                        digest_size=16).hexdigest()
+    key = (a.shape, str(a.dtype), h)
+    hit = _INTERN_POOL.get(key)
+    if hit is not None:
+        return hit
+    d = jnp.asarray(a)
+    _INTERN_POOL[key] = d
+    return d
+
+
 def _is_big_array(v) -> bool:
     return (isinstance(v, jax.Array)
             and v.size * v.dtype.itemsize >= LIFT_THRESHOLD_BYTES)

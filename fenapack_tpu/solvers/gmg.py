@@ -327,8 +327,12 @@ class PressureHierarchy:
             if fine_asm is not None and l == L - 1:
                 asm = fine_asm
             else:
+                # p1_only: the hierarchy reads exactly pat_p1 + Ap (+Mp);
+                # a full NSAssembler per level was 3.5+ GB of dead P2/div
+                # residency at the 2.05M config-4 scale
                 asm = NSAssembler(mesh, nu=1.0, dtype=dtype, quad_degree=2,
-                                  block_size=block_size, reorder=reorder)
+                                  block_size=block_size, reorder=reorder,
+                                  p1_only=True)
             Ap = asm.const.Ap.with_vals(asm.const.Ap.vals.astype(dtype))
             dofs = (asm.W.Q.facet_dofs(list(pcd_markers)) if pcd_markers
                     else np.empty(0, dtype=int))

@@ -178,6 +178,7 @@ class NonlinearSolver:
     def solve_fused(self, w0: Optional[jnp.ndarray] = None, *,
                     rtol: float = 1e-5, rtol_lin: float = 1e-8,
                     max_steps: int = 25, verbose: bool = False,
+                    damping: float = 1.0,
                     split_programs: bool = False) -> NonlinearResult:
         """Production driver around the fused IR step.
 
@@ -224,7 +225,11 @@ class NonlinearSolver:
                 # host-driven IR rounds: each device program stays small
                 x, iters, _ = self.oseen.solve_ir(w[:self.n_u], -F,
                                                   rtol=rtol_lin)
-                w = w + x.astype(dt_hi)
+                w = w + damping * x.astype(dt_hi)
+            elif damping != 1.0:
+                # fused step returns the full update; blend on host
+                # (high-Re continuation, matching solve()'s semantics)
+                w = w + damping * (w_new - w)
             else:
                 w = w_new
             it_hist.append(int(iters))

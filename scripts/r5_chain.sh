@@ -21,10 +21,7 @@ log "stage B: 2D-2 l=2 dt=0.00625 warm-started from l1 ckpt (auto chunk)"
 WARM=results/r4_dfg2d2_hist.csv.ckpt.npz
 for i in $(seq 1 40); do
     if [ -f /tmp/r5_2d2_stop ]; then log "2d2 stopped by flag"; break; fi
-    if [ -f /tmp/r5_2d2_pause ]; then
-        sleep 60
-        continue
-    fi
+    while [ -f /tmp/r5_2d2_pause ]; do sleep 60; done
     timeout 7200 python demos/demo_cylinder.py --unsteady -l 2 --t-end 2.5 \
         --dt 0.00625 --chunk auto --warm-from "$WARM" \
         --hist results/r5_dfg2d2_l2_hist.csv \
