@@ -33,7 +33,7 @@ D = 0.1                          # cylinder diameter
 
 
 def build(level, re, dtype_str, ls="iterative", nls="newton",
-          unsteady=False):
+          unsteady=False, block=None):
     import jax.numpy as jnp
     from fenapack_tpu.fem import mesh as meshmod
     from fenapack_tpu.fem.assemble import NSAssembler
@@ -52,7 +52,15 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
     # honest to rtol_lin, so forces (lift is 0.2% of drag) stay sharp
     adtype = jnp.float32 if dtype_str == "float32" else jnp.float64
     sdtype = "float64" if dtype_str == "float64" else "float32"
-    asm = NSAssembler(mesh, nu, dtype=adtype)
+    # block: BSR tile layout + RCM reorder (the 3D demo's production
+    # layout) — the unblocked path runs every SpMV as an XLA gather,
+    # ~100x off HBM bandwidth on TPU (doc/spmv_table.md); measured
+    # identical functionals/counts (dof relabeling commutes with the
+    # residual row-sum and point-eval functionals)
+    asm = NSAssembler(mesh, nu, dtype=adtype, block_size=block,
+                      block_dtype=(jnp.float32
+                                   if block and sdtype == "float32"
+                                   else None))
 
     def inflow(x):
         v = np.zeros((x.shape[0], 2))
@@ -74,9 +82,11 @@ def build(level, re, dtype_str, ls="iterative", nls="newton",
         hdtype = jnp.dtype(sdtype)
         ap_h = gmg.PressureHierarchy(hier, hdtype,
                                      pcd_markers=[meshmod.OUTFLOW],
-                                     fine_asm=asm)
+                                     fine_asm=asm, block_size=block,
+                                     reorder=bool(block))
         v_h = gmg.VelocityHierarchy(hier, nu, hdtype, bc_markers=noslip
-                                    + [meshmod.INFLOW], fine_asm=asm)
+                                    + [meshmod.INFLOW], fine_asm=asm,
+                                    block_size=block)
     cfg = overrides(SolverConfig(), over)
     cfg = env_overrides(cfg)
     return asm, bcs, cfg, ap_h, v_h, nu
@@ -130,6 +140,10 @@ def main():
     ap.add_argument("--maxiter", type=int, default=None,
                     help="Krylov dimension cap (program size; default "
                          "config value — shrink on near-capacity runs)")
+    ap.add_argument("--block", type=int, default=None,
+                    help="BSR tile size (e.g. 32) + RCM reorder: the TPU "
+                         "production layout (gather SpMV is ~100x off "
+                         "bandwidth); default None = ELL/gather")
     ap.add_argument("--split-programs", action="store_true",
                     help="steady path: run residual + each IR round as "
                          "separate device calls instead of one fused "
@@ -150,7 +164,8 @@ def main():
     re = 100 if args.unsteady else 20
     asm, bcs, cfg, ap_h, v_h, nu = build(args.level, re, dtype, ls=args.ls,
                                          nls=args.nls,
-                                         unsteady=args.unsteady)
+                                         unsteady=args.unsteady,
+                                         block=args.block)
     if args.maxiter is not None:
         from fenapack_tpu.solvers.config import overrides
         cfg = overrides(cfg, {"krylov.maxiter": args.maxiter})
@@ -229,8 +244,10 @@ def main():
         done = 0
         ckpt = args.ckpt or (args.hist + ".ckpt.npz")
         # chunk is NOT part of the key: it only shapes the device program,
-        # so a resumed run may re-derive a different (auto) chunk size
-        ck_key = f"l{args.level}_dt{args.dt:g}_{dtype}"
+        # so a resumed run may re-derive a different (auto) chunk size.
+        # --block IS: the RCM relabeling changes the state layout.
+        ck_key = (f"l{args.level}_dt{args.dt:g}_{dtype}"
+                  + (f"_b{args.block}" if args.block else ""))
         if not args.no_resume and os.path.exists(ckpt):
             ck = np.load(ckpt, allow_pickle=False)
             if str(ck["key"]) == ck_key and int(ck["done"]) < n_steps:
@@ -274,6 +291,19 @@ def main():
                 p = jnp.pad(p, (0, asm.n1 - p.shape[0]))
             u_prev = vt.prolong(jnp.asarray(
                 np.asarray(ckw["c1"], dtype=np.float64)))
+            rankV = getattr(asm.W.V, "rank", None)
+            if rankV is not None:
+                # --block reorder: the natural-ordered prolongation must be
+                # relabeled into the solver's RCM layout (old id -> rank)
+                rV = np.asarray(rankV)
+                rQ = np.asarray(asm.W.Q.rank)
+                perm_u = np.concatenate([a * asm.n2 + rV
+                                         for a in range(2)])
+                u = jnp.zeros_like(u).at[jnp.asarray(perm_u)].set(u)
+                p = jnp.zeros_like(p).at[jnp.asarray(rQ)].set(
+                    p[:rQ.shape[0]])
+                u_prev = jnp.zeros_like(u_prev).at[
+                    jnp.asarray(perm_u)].set(u_prev)
             carry = (jnp.concatenate([u, p]), u_prev, carry[2])
             print(f"warm start: prolonged {args.warm_from} "
                   f"({2 * n2c + n1c} -> {n_u + asm.n1} dofs, coarse step "

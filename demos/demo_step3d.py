@@ -89,7 +89,10 @@ def build(args):
     # (natural ordering explodes the block fill ~100x at 2M dofs)
     asm = NSAssembler(mesh, args.nu, dtype=jnp.float64, quad_degree=4,
                       block_size=args.block or None,
-                      block_dtype=jnp.float32 if dtype == "float32" else None)
+                      block_dtype=jnp.float32 if dtype == "float32" else None,
+                      # steady config-4 never reads the hi P2 mass (445 MB
+                      # f64 at 2M); unsteady callers assemble it on demand
+                      m2_hi=False)
 
     def inflow(x):
         v = np.zeros((x.shape[0], 3))

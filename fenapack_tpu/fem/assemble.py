@@ -98,7 +98,8 @@ class NSAssembler:
                  quad_degree: int = 5, inflow_marker: int = INFLOW,
                  row_align: int = 1, block_size: Optional[int] = None,
                  reorder: Optional[bool] = None, block_dtype=None,
-                 hi_block: bool = False, p1_only: bool = False):
+                 hi_block: bool = False, p1_only: bool = False,
+                 m2_hi: bool = True):
         """``p1_only``: pressure-space-only assembler (pat_p1 + Ap/Mp).
 
         PressureHierarchy levels need exactly the P1 Laplacian; the full
@@ -287,7 +288,12 @@ class NSAssembler:
             # assembles the compute constants natively in f32 — f64 block
             # tiles exhaust HBM at 3D scale; None keeps assembler precision
             # (exact parity with the ELL layout, used by the CPU test suite)
-            self.const_hi = self._assemble_constant(hi=True)
+            # m2_hi=False: skip the hi-precision P2 mass constant — the
+            # single largest f64 buffer (445 MB at 2.05M dofs), read only
+            # by unsteady schemes and unsteady functionals (which fall
+            # back to mass2_values on demand)
+            self.const_hi = self._assemble_constant(hi=True,
+                                                    skip_m2=not m2_hi)
             self.const = self._assemble_constant(hi=False,
                                                  out_dtype=block_dtype,
                                                  skip_m2=True)

@@ -740,7 +740,12 @@ def velocity_gmg_values(vh: VelocityHierarchy, wind_fine, newton: bool,
     def level_values(asm, wl):
         A1vals = asm.picard_matrix_values(wl).astype(dtype)
         if theta != 1.0 or inv_dt != 0.0:
-            A1vals = theta * A1vals + inv_dt * asm.const.M2.vals.astype(dtype)
+            # block-mode assemblers skip the M2 constant (const is built
+            # with skip_m2 — fill would double the largest stored
+            # operator); recompute its values in the compute layout
+            M2v = (asm.const.M2.vals if asm.const.M2 is not None
+                   else asm.mass2_values())
+            A1vals = theta * A1vals + inv_dt * M2v.astype(dtype)
         if supg:
             A1vals = A1vals + asm.supg_values(wl).astype(dtype)
         R = None

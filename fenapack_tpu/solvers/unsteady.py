@@ -43,6 +43,15 @@ from .config import SolverConfig
 from .oseen import OseenSolver
 
 
+def _m2_hi(asm):
+    """hi-precision P2 mass, assembling on demand when the assembler was
+    built with ``m2_hi=False`` (steady-workload memory trim)."""
+    M2 = asm.const_hi.M2
+    if M2 is None:
+        M2 = asm.pat_p2_hi.matrix(asm.mass2_values(hi=True))
+    return M2
+
+
 @dataclasses.dataclass
 class UnsteadyResult:
     w: jnp.ndarray
@@ -114,7 +123,7 @@ class UnsteadySolver:
             a time step, so callers compute it once per step."""
             u, p = w[:n_u], w[n_u:]
             # mass matrix from the hi set (always present; ELL in block mode)
-            M2h = asm.const_hi.M2
+            M2h = _m2_hi(asm)
             M2 = M2h.with_vals(M2h.vals.astype(dtc))
             du = (u - u_old).astype(dtc)
             mass = jnp.concatenate(
@@ -139,7 +148,7 @@ class UnsteadySolver:
             the SAME effective operator 1.5/dt M + A1, so no second
             Jacobian/PCD build is needed for the first step."""
             u, p = w[:n_u], w[n_u:]
-            M2h = asm.const_hi.M2
+            M2h = _m2_hi(asm)
             M2 = M2h.with_vals(M2h.vals.astype(dtc))
             acc = (3.0 * u - 4.0 * u_old + u_prev).astype(dtc)
             mass = jnp.concatenate(
@@ -245,7 +254,7 @@ class UnsteadySolver:
             ru = conv + asm.grad_p(p)
             if bdf2:
                 # u_old == u: (3u - 4u_old + u_prev)/(2dt) = (u_prev-u)/(2dt)
-                M2h = asm.const_hi.M2
+                M2h = _m2_hi(asm)
                 du = (u_prev.astype(dt_hi) - u)
                 ru = ru + jnp.concatenate(
                     [M2h.mv(du[a * n2:(a + 1) * n2]) for a in range(d)]) \

@@ -48,7 +48,7 @@ def boundary_reaction(asm, u: jnp.ndarray, p: jnp.ndarray,
     if du_dt is not None:
         M2 = asm.const_hi.M2
         if M2 is None:
-            M2 = asm.pat_p2.matrix(asm.mass2_values(hi=True))
+            M2 = asm.pat_p2_hi.matrix(asm.mass2_values(hi=True))
         comps = asm.split_u(du_dt.astype(dt_hi))
         ru = ru + jnp.concatenate([M2.mv(comps[a])
                                    for a in range(asm.dim)])
@@ -129,7 +129,7 @@ def make_device_functional(asm, markers: Sequence[int], points=(),
             raise ValueError("dt is required for unsteady schemes")
         M2 = asm.const_hi.M2
         if M2 is None:
-            M2 = asm.pat_p2.matrix(asm.mass2_values(hi=True))
+            M2 = asm.pat_p2_hi.matrix(asm.mass2_values(hi=True))
         idt = 1.0 / dt
 
     def fn(w_new, u_old, u_prev):

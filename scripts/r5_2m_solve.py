@@ -29,6 +29,8 @@ def main():
                     help="per-program temp+args gate (15.75 GB HBM minus "
                          "reserved + resident headroom)")
     ap.add_argument("--audit-only", action="store_true")
+    ap.add_argument("--probe", action="store_true",
+                    help="time each split program alone (crash bisect)")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +113,50 @@ def main():
     if args.audit_only or not fits:
         print(json.dumps(out), flush=True)
         return 0 if fits else 3
+
+    if args.probe:
+        # bisect the worker crash: execute each split program alone with a
+        # scalar fetch (this backend's block_until_ready returns at
+        # enqueue), timing wall per program.  The service kills single
+        # executions at ~120 s (results/r3_exec_watchdog_tpu.log) — this
+        # names the stage that breaches it.
+        import numpy as _np
+        rng = _np.random.default_rng(0)
+        wind = jnp.asarray(rng.standard_normal(n_u) * 1e-3, dt_lo)
+        t0 = time.time()
+        vals = values_jit(wind)
+        s = float(jax.tree_util.tree_leaves(vals)[0].ravel()[0])
+        print(f"[probe] values program: {time.time()-t0:.1f}s "
+              f"(leaf0 {s:.3e})", flush=True)
+        r = jnp.asarray(rng.standard_normal(n), dt_lo)
+        r = r / jnp.linalg.norm(r)
+        # maxiter LADDER in one process: smallest first — the first kill
+        # severs the device connection, so order = most information.
+        # Per-iter wall falls out of the survivors; a kill at the smallest
+        # rung means program CONTENT, not duration.
+        import dataclasses as _dc
+        for mi in (2, 8):
+            oseen.config = _dc.replace(
+                oseen.config,
+                krylov=_dc.replace(oseen.config.krylov, maxiter=mi))
+            for a in ("_values_jit", "_solve_vals_jit"):
+                if hasattr(oseen, a):
+                    delattr(oseen, a)
+            _, sj = oseen._split_jits()
+            t0 = time.time()
+            res = sj(vals, r)
+            it = int(res.iters)
+            print(f"[probe] solve maxiter={mi}: {time.time()-t0:.1f}s "
+                  f"({it} iters, rn {float(res.resnorms[-1]):.2e})",
+                  flush=True)
+        # ladder survived: restore the target Krylov dimension and fall
+        # through to the actual solve in the same process
+        oseen.config = _dc.replace(
+            oseen.config,
+            krylov=_dc.replace(oseen.config.krylov, maxiter=args.maxiter))
+        for a in ("_values_jit", "_solve_vals_jit"):
+            if hasattr(oseen, a):
+                delattr(oseen, a)
 
     # ---- the solve ----------------------------------------------------
     t0 = time.time()

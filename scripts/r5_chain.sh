@@ -23,7 +23,7 @@ for i in $(seq 1 40); do
     if [ -f /tmp/r5_2d2_stop ]; then log "2d2 stopped by flag"; break; fi
     while [ -f /tmp/r5_2d2_pause ]; do sleep 60; done
     timeout 7200 python demos/demo_cylinder.py --unsteady -l 2 --t-end 2.5 \
-        --dt 0.00625 --chunk auto --warm-from "$WARM" \
+        --dt 0.00625 --chunk auto --block 32 --warm-from "$WARM" \
         --hist results/r5_dfg2d2_l2_hist.csv \
         > /tmp/r5_2d2_$i.log 2>&1 &
     echo $! > /tmp/r5_2d2.pid
