@@ -69,6 +69,11 @@ def intern(arr, dtype=None):
     if hit is not None:
         return hit
     d = jnp.asarray(a)
+    if isinstance(d, jax.core.Tracer):
+        # called under an active trace (e.g. the mini-UFL form compiler
+        # builds patterns inside jit): the "upload" is a trace constant —
+        # pooling it would leak the tracer into later, unrelated calls
+        return d
     _INTERN_POOL[key] = d
     return d
 
