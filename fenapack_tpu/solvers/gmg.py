@@ -709,7 +709,8 @@ def _pcoarse_mask(vh: VelocityHierarchy, dtype, d: int):
 def velocity_gmg_values(vh: VelocityHierarchy, wind_fine, newton: bool,
                         bc_mask_u_fine, dtype,
                         supg: bool = False,
-                        theta: float = 1.0, inv_dt: float = 0.0):
+                        theta: float = 1.0, inv_dt: float = 0.0,
+                        fine_values=None):
     """ASSEMBLY half of the velocity V-cycle: every wind-dependent value
     the cycle needs, as one pytree — per-level operator values, the
     p-coarse P1 values, and the dense bottom-level inverse.
@@ -755,7 +756,19 @@ def velocity_gmg_values(vh: VelocityHierarchy, wind_fine, newton: bool,
                 R = theta * R
         return A1vals, R
 
-    levels = [level_values(asm, winds[l]) for l, asm in enumerate(vh.asms)]
+    levels = [level_values(asm, winds[l]) for l, asm in enumerate(vh.asms[:-1])]
+    if fine_values is not None:
+        # the caller's preconditioner operator (A1pc, R) IS the fine-level
+        # operator — theta-scheme combination, SUPG and Newton-reaction
+        # scaling all match level_values by construction.  Reusing it
+        # halves the values-program assembly work and output bytes (the
+        # fine level dominates both: 2.12 GB of the 4.74 GB values output
+        # at the 2.05M config-4 scale, r5_2m_attempt9.log).
+        A1f, Rf = fine_values
+        levels.append((A1f.astype(dtype),
+                       None if Rf is None else Rf.astype(dtype)))
+    else:
+        levels.append(level_values(vh.asms[-1], winds[L - 1]))
     masks = _velocity_level_masks(vh, bc_mask_u_fine, d)
     pcoarse, dense = _velocity_gmg_plan(vh, d)
     asm0 = vh.asms[0]
@@ -907,7 +920,8 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
                                 wind_fine, newton: bool, bc_mask_u_fine,
                                 dtype, omega: float = 0.6,
                                 supg: bool = False,
-                                theta: float = 1.0, inv_dt: float = 0.0):
+                                theta: float = 1.0, inv_dt: float = 0.0,
+                                fine_values=None):
     """V-cycle preconditioner for the velocity block, re-discretizing the
     convection(-reaction) operator on every level from the injected wind.
 
@@ -919,6 +933,6 @@ def make_velocity_gmg_from_wind(vh: VelocityHierarchy, cfg: SubsolveConfig,
     """
     vals = velocity_gmg_values(vh, wind_fine, newton, bc_mask_u_fine,
                                dtype, supg=supg, theta=theta,
-                               inv_dt=inv_dt)
+                               inv_dt=inv_dt, fine_values=fine_values)
     return make_velocity_gmg_from_values(vh, cfg, vals, bc_mask_u_fine,
                                          dtype, omega=omega)

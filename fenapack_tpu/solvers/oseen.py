@@ -344,7 +344,8 @@ class OseenSolver:
                 wind.astype(dt), self.linearization == "newton",
                 self.bc_mask_u, self.dtype,
                 supg=(cfg.jpc_supg or cfg.system_supg),
-                theta=self.theta, inv_dt=self.inv_dt)
+                theta=self.theta, inv_dt=self.inv_dt,
+                fine_values=(A1vals, R))
         raise ValueError(f"unknown velocity method {method!r}")
 
     # -------------------------------------------------------------- #
@@ -587,7 +588,8 @@ class OseenSolver:
                 self.velocity_hierarchy, wind.astype(self.dtype),
                 self.linearization == "newton", self.bc_mask_u,
                 self.dtype, supg=(cfg.jpc_supg or cfg.system_supg),
-                theta=self.theta, inv_dt=self.inv_dt)
+                theta=self.theta, inv_dt=self.inv_dt,
+                fine_values=(A1pc if A1pc is not None else A1vals, R))
         return {"A1vals": A1vals, "R": R, "kpvals": kpvals,
                 "A1pc": A1pc, "gmg": gvals}
 
